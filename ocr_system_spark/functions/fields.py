@@ -1,0 +1,296 @@
+"""Vectorized field-extraction kernels (the byte-identity layer).
+
+Reimplements the reference extractor's per-row string semantics —
+/root/reference/ocr/extract.py (static fields F2/F3, address F5, date-range
+F6), /root/reference/ocr/dynamic.py (dynamic fields F9, license
+normalize/extract F10/F11, first-page licenses F13) and
+/root/reference/ocr/postprocess.py (derived column F14) — as batch kernels
+over pandas Series.
+
+Design differences from the reference (deliberate, performance-only; the
+observable output is byte-identical and pinned by tests/test_fields_golden.py):
+
+* every regex is compiled exactly once per executor process at module import
+  (the reference recompiles per row per call — ocr/extract.py:29-31,
+  ocr/dynamic.py:60 — an anti-pattern we do not replicate);
+* all kernels take/return pandas Series so they slot into Arrow-batched
+  ``mapInPandas``/``pandas_udf`` stages with zero per-row Python at the Spark
+  layer;
+* Python's ``re`` engine is used on purpose: Java/RE2 regex dialects differ
+  (inline verbose flags, lookahead nuances, ``\\u2080-\\u2089`` classes), and
+  byte-identity with the reference is a hard requirement — never "optimize"
+  these into Spark SQL regexp functions without a byte-level test.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ocr_system_spark.functions.patterns import (
+    ADDRESS_PATTERN,
+    DEFAULT_PATTERNS,
+    LICENSE_TYPE_A,
+    LICENSE_TYPE_B,
+    MONTH_MAP,
+    MONTH_NAMES_ALTERNATION,
+    PAGE_BREAK_TOKEN,
+)
+
+# --------------------------------------------------------------------------
+# compiled-once module-level regexes
+# --------------------------------------------------------------------------
+
+_STATIC_COMPILED: Dict[str, List[re.Pattern]] = {
+    field: [re.compile(p, flags=re.IGNORECASE) for p in pats]
+    for field, pats in DEFAULT_PATTERNS.items()
+}
+
+_ZWSP_CR = re.compile(r"[​\r]+")
+_MULTISPACE = re.compile(r"\s{2,}")
+_ADDRESS_RE = re.compile(ADDRESS_PATTERN, flags=re.IGNORECASE | re.DOTALL | re.VERBOSE)
+
+# date-range machinery (semantics per /root/reference/ocr/extract.py:101-122)
+_NUMERIC_DATE = r"\d{1,2}\s*[\.\-]\s*\d{1,2}\s*[\.\-]\s*\d{4}"
+_TEXTUAL_DATE = rf"\d{{1,2}}(?:st|nd|rd|th|\"|”)?\s*(?:{MONTH_NAMES_ALTERNATION})\s+\d{{4}}"
+_DATE_ALT = rf"(?:{_NUMERIC_DATE}|{_TEXTUAL_DATE})"
+_DATE_RANGE_RE = re.compile(
+    rf"({_DATE_ALT}).{{0,40}}?\bto\b.{{0,40}}?({_DATE_ALT})",
+    flags=re.IGNORECASE | re.DOTALL,
+)
+_ORDINAL_SUFFIX_RE = re.compile(r'(\d{1,2})(st|nd|rd|th|"|”)', flags=re.IGNORECASE)
+_MONTH_NAME_RE = re.compile(rf"(?:{MONTH_NAMES_ALTERNATION})", flags=re.IGNORECASE)
+_SEP_RUN_RE = re.compile(r"[\s\.\-]+")
+
+# license machinery (semantics per /root/reference/ocr/dynamic.py:120-164)
+_LIC_A_RE = re.compile(LICENSE_TYPE_A, flags=re.IGNORECASE)
+_LIC_B_RE = re.compile(LICENSE_TYPE_B, flags=re.IGNORECASE)
+_WS_RUN_RE = re.compile(r"\s+")
+_PAREN_GROUP_RE = re.compile(r"\(([^)]{1,20})\)")
+_O_BETWEEN_DIGITS_RE = re.compile(r"(?<=\d)O(?=\d)")
+
+# derived-column machinery (semantics per /root/reference/ocr/postprocess.py:39-53)
+_FIRST_PAREN_RE = re.compile(r"\(([^)]+)\)")
+_FIRST_DIGITS_RE = re.compile(r"(\d+)")
+
+
+# --------------------------------------------------------------------------
+# scalar primitives (unit-testable; batch kernels below call these)
+# --------------------------------------------------------------------------
+
+def first_match(text: str, compiled: Iterable[re.Pattern]) -> Optional[str]:
+    """First-match-across-ordered-patterns: try each regex in priority order;
+    a match yields group(1) when the pattern captured something, else the
+    whole match; no match at all yields None."""
+    for rgx in compiled:
+        m = rgx.search(text)
+        if m:
+            return m.group(1) if m.lastindex else m.group(0)
+    return None
+
+
+def extract_static_fields_one(text: str) -> Tuple[Optional[str], Optional[str], Optional[str]]:
+    """(license_id, date, reference_id) via the default priority lists."""
+    t = text or ""
+    return (
+        first_match(t, _STATIC_COMPILED["license_id"]),
+        first_match(t, _STATIC_COMPILED["date"]),
+        first_match(t, _STATIC_COMPILED["reference_id"]),
+    )
+
+
+def extract_address_one(text: str) -> Optional[str]:
+    """Address between tower-phrase markers; whitespace-collapsed, trimmed."""
+    if not text:
+        return None
+    t = _ZWSP_CR.sub(" ", text)
+    m = _ADDRESS_RE.search(t)
+    if not m:
+        return None
+    addr = _MULTISPACE.sub(" ", m.group(1))
+    return addr.strip(" ,.;:-")
+
+
+def _normalize_date_str(s: str) -> str:
+    # strip ordinal suffix / OCR quote glued to the day number
+    s = _ORDINAL_SUFFIX_RE.sub(r"\1", s)
+    # month name → month number, NOT zero-padded ("May" → "5")
+    s = _MONTH_NAME_RE.sub(lambda mo: str(MONTH_MAP[mo.group(0).lower()[:3]]), s)
+    # any run of space/dot/dash collapses to a single dot
+    return _SEP_RUN_RE.sub(".", s)
+
+
+def extract_date_range_one(text: str) -> Tuple[Optional[str], Optional[str]]:
+    """'<date> … to … <date>' → normalized ('d.m.yyyy', 'd.m.yyyy')."""
+    if not text:
+        return None, None
+    t = _ZWSP_CR.sub(" ", text)
+    m = _DATE_RANGE_RE.search(t)
+    if not m:
+        return None, None
+    return _normalize_date_str(m.group(1)), _normalize_date_str(m.group(2))
+
+
+def normalize_license_text(text: str) -> str:
+    """Canonicalize OCR-noisy license text: fullwidth/square brackets to ASCII
+    parens, uppercase, collapse whitespace, drop zero-width spaces, and inside
+    every short (...) group repair digit-adjacent O→0 confusions."""
+    t = text.replace("（", "(").replace("）", ")").replace("[", "(").replace("]", ")")
+    t = t.upper()
+    t = _WS_RUN_RE.sub(" ", t)
+    t = t.replace("​", "")
+    return _PAREN_GROUP_RE.sub(
+        lambda m: "(" + _O_BETWEEN_DIGITS_RE.sub("0", m.group(1)) + ")", t
+    )
+
+
+def extract_all_license_numbers_one(text: str) -> List[str]:
+    """All TYPE_A license numbers (order-preserving, case-insensitive dedup);
+    if none, all TYPE_B. TYPE_A beats TYPE_B wholesale, not per-position."""
+    txt = normalize_license_text(text or "")
+    out_a: List[str] = []
+    seen_a: set = set()
+    for m in _LIC_A_RE.finditer(txt):
+        val = m.group(0).strip()
+        key = val.upper()
+        if key not in seen_a:
+            seen_a.add(key)
+            out_a.append(val)
+    if out_a:
+        return out_a
+    out_b: List[str] = []
+    seen_b: set = set()
+    for m in _LIC_B_RE.finditer(txt):
+        val = m.group(0).strip()
+        key = val.upper()
+        if key not in seen_b:
+            seen_b.add(key)
+            out_b.append(val)
+    return out_b
+
+
+def extract_licenses_first_page_one(text: str) -> str:
+    """First-page-only, first-license-only: split the document text on the
+    page-break token, scan page one, keep at most one license, '; '-join."""
+    first_page = (text or "").split(PAGE_BREAK_TOKEN, 1)[0] if text else ""
+    return "; ".join(extract_all_license_numbers_one(first_page)[:1])
+
+
+def derived_summary_one(licenses: Optional[str], address: Optional[str]) -> str:
+    """'Renew Times' derived column: digits inside the first (...) of the
+    license (else anywhere in it) → int (drops leading zeros) → 'N times';
+    fallback 'lic | addr' / whichever is non-empty."""
+    lic = (licenses or "").strip()
+    addr = (address or "").strip()
+    m = _FIRST_PAREN_RE.search(lic)
+    code = m.group(1) if m else lic
+    nm = _FIRST_DIGITS_RE.search(code)
+    if nm:
+        return f"{int(nm.group(1))} times"
+    if lic and addr:
+        return f"{lic} | {addr}"
+    return lic or addr
+
+
+def compile_field_patterns(
+    field_to_patterns: Dict[str, List[str]],
+) -> Dict[str, List[re.Pattern]]:
+    """Driver-side validation+compilation of a dynamic field config. Invalid
+    regexes are dropped here, once, instead of being try/excepted per row."""
+    out: Dict[str, List[re.Pattern]] = {}
+    for field, pats in field_to_patterns.items():
+        compiled: List[re.Pattern] = []
+        for raw in pats:
+            try:
+                compiled.append(re.compile(raw, flags=re.IGNORECASE))
+            except re.error:
+                continue
+        out[field] = compiled
+    return out
+
+
+def extract_dynamic_fields_one(
+    text: str, compiled: Dict[str, List[re.Pattern]]
+) -> Dict[str, str]:
+    """Dynamic multi-field projection. NOTE: misses yield '' (empty string),
+    not None — this differs from the static layer on purpose."""
+    out: Dict[str, str] = {}
+    for field, pats in compiled.items():
+        value: Optional[str] = None
+        for rgx in pats:
+            m = rgx.search(text)
+            if m:
+                value = m.group(1) if m.lastindex else m.group(0)
+                break
+        out[field] = value or ""
+    return out
+
+
+# --------------------------------------------------------------------------
+# batch kernels (pandas Series in → pandas columns out)
+# --------------------------------------------------------------------------
+
+def _as_str_list(texts: pd.Series) -> List[str]:
+    return ["" if t is None or (isinstance(t, float) and np.isnan(t)) else t
+            for t in texts.tolist()]
+
+
+def extract_static_fields(texts: pd.Series) -> pd.DataFrame:
+    rows = [extract_static_fields_one(t) for t in _as_str_list(texts)]
+    return pd.DataFrame(
+        rows, columns=["license_id", "date", "reference_id"], index=texts.index,
+        dtype=object,
+    )
+
+
+def extract_address(texts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_address_one(t) for t in _as_str_list(texts)],
+        index=texts.index, dtype=object, name="address",
+    )
+
+
+def extract_date_range(texts: pd.Series) -> pd.DataFrame:
+    rows = [extract_date_range_one(t) for t in _as_str_list(texts)]
+    return pd.DataFrame(
+        rows, columns=["start_date", "end_date"], index=texts.index, dtype=object,
+    )
+
+
+def extract_licenses_first_page(texts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_licenses_first_page_one(t) for t in _as_str_list(texts)],
+        index=texts.index, dtype=object, name="licenses",
+    )
+
+
+def derived_summary(licenses: pd.Series, addresses: pd.Series) -> pd.Series:
+    return pd.Series(
+        [derived_summary_one(l, a)
+         for l, a in zip(_as_str_list(licenses), _as_str_list(addresses))],
+        index=licenses.index, dtype=object, name="renew_times",
+    )
+
+
+def extract_dynamic_fields(
+    texts: pd.Series, compiled: Dict[str, List[re.Pattern]]
+) -> pd.DataFrame:
+    fields = list(compiled.keys())
+    rows = [extract_dynamic_fields_one(t, compiled) for t in _as_str_list(texts)]
+    return pd.DataFrame(
+        [[r[f] for f in fields] for r in rows],
+        columns=fields, index=texts.index, dtype=object,
+    )
+
+
+def notes_for(license_id: pd.Series, date: pd.Series, reference_id: pd.Series) -> pd.Series:
+    """Errors-as-data notes column: 'No patterns matched' when the whole
+    static projection came up empty (reference: ocr/pipeline.py:71-73)."""
+    vals = [
+        "No patterns matched" if (l is None and d is None and r is None) else None
+        for l, d, r in zip(license_id.tolist(), date.tolist(), reference_id.tolist())
+    ]
+    return pd.Series(vals, index=license_id.index, dtype=object, name="notes")
