@@ -8,8 +8,11 @@ shuffle partitions sized to cores).
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_REPO_ROOT = str(Path(__file__).resolve().parents[1])
 
 
 def get_spark(
@@ -25,6 +28,15 @@ def get_spark(
     """
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores in ("*",) else max(int(cores), 2) * 2
+    # Executor Python workers must be able to import this package. On a real
+    # cluster that is `spark-submit --py-files ocr_system_spark.zip`; in
+    # local mode the worker processes inherit the driver environment, so
+    # prepending the repo root to PYTHONPATH is the equivalent.
+    pypath = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _REPO_ROOT + (os.pathsep + pypath if pypath else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -40,6 +52,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Idempotent per-bucket overwrite for checkpoint-resume (plans/resume.py).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -23,12 +23,15 @@ this very column (tools/make_goldens.py), giving the byte-identity oracle.
 from __future__ import annotations
 
 import random
+import re
 from datetime import datetime, timedelta, timezone
 from typing import Dict, List
 
 import pandas as pd
 
 from ocr_system_spark.functions.patterns import PAGE_BREAK
+
+_WS_RUN = re.compile(r"\s+")
 
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
@@ -157,10 +160,12 @@ def _html_payload(rng: random.Random, main_paras: List[str], lang: str) -> bytes
 
 # --- PDF payload (minimal text-object grammar; parser in pdf_layout.py) ----
 
-def _pdf_payload(rng: random.Random, pages: List[List[str]]) -> bytes:
+def _pdf_payload(rng: random.Random, pages: List[List[str]]):
     """1–3 column layout per page; token boxes carry (x, y) so XY-cut has a
-    known answer: columns left→right, lines top→bottom."""
+    known answer: columns left→right, lines top→bottom. Returns
+    (payload_bytes, expected_reading_order_text_per_page)."""
     out: List[str] = ["%PDF-SYN1"]
+    expected_pages: List[str] = []
     for page_tokens in pages:
         out.append("PAGE")
         ncols = rng.randint(1, 3)
@@ -184,7 +189,10 @@ def _pdf_payload(rng: random.Random, pages: List[List[str]]) -> bytes:
                 tok_esc = tok.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
                 out.append(f"BT {x + ti * 40.0:.1f} {y:.1f} Td ({tok_esc}) Tj ET")
         out.append("ENDPAGE")
-    return "\n".join(out).encode("utf-8")
+        # reading order (cols left→right, lines top→bottom) preserves the
+        # original line order under this layout
+        expected_pages.append("\n".join(" ".join(line) for line in lines))
+    return "\n".join(out).encode("utf-8"), expected_pages
 
 
 def _bad_payload(rng: random.Random) -> bytes:
@@ -230,7 +238,7 @@ def generate_pages(
                 [rng.choice(_WORDS) for _ in range(rng.randint(8, 24) * mult)]
                 for _ in range(n_pages)
             ]
-            html = _pdf_payload(rng, page_tokens)
+            html, expected_pdf_pages = _pdf_payload(rng, page_tokens)
             # visible text: per-page token text in generation order;
             # rich snippets appended so the regex layer has material
             page_texts = [" ".join(toks) for toks in page_tokens]
@@ -240,7 +248,7 @@ def generate_pages(
                 # second-page-only typed license: must be IGNORED by F13
                 page_texts[1] += " No. 999 (R99)"
             text = PAGE_BREAK.join(page_texts)
-            expected_main = ""  # pdf reading-order golden pinned separately
+            expected_main = PAGE_BREAK.join(expected_pdf_pages)
         else:
             kind = "html"
             mult = skew_factor if is_skew else 1
@@ -255,7 +263,11 @@ def generate_pages(
             if n_pages > 1 and rng.random() < 0.3:
                 page_texts[-1] += " No. 888 (R88)"
             text = PAGE_BREAK.join(page_texts)
-            expected_main = "\n".join(main_paras)
+            # the extraction kernel's contract is one whitespace-normalized
+            # line per block — record the expectation in the same form
+            expected_main = "\n".join(
+                _WS_RUN.sub(" ", p).strip() for p in main_paras
+            )
         rows.append({
             "url": url,
             "warc_ts": ts,
