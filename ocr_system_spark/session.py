@@ -15,6 +15,35 @@ from pyspark.sql import SparkSession
 _REPO_ROOT = str(Path(__file__).resolve().parents[1])
 
 
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Works even when the SparkSession was created by someone else (the test
+    driver) before this module was imported — the cluster-mode equivalent is
+    ``spark-submit --py-files ocr_system_spark.zip``.
+    """
+    if getattr(spark, "_ocr_system_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(_REPO_ROOT, "ocr_system_spark")
+    zip_path = os.path.join(tempfile.gettempdir(), "ocr_system_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, _REPO_ROOT)
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    spark._ocr_system_spark_shipped = True
+
+
 def get_spark(
     cores: int | str = "*",
     app_name: str = "ocr_system_spark",
