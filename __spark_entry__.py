@@ -314,6 +314,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["union_distinct"] = q_union_distinct
 
+    # ---- training-data pipeline operators ---------------------------------
+
+    def q_dedup_exact(spark, sf_dir):
+        """Exact dedup over documents ∪ an exact copy of itself."""
+        from ocr_system_spark.operators.dedup import exact_dedup_groups
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        return exact_dedup_groups(d.union(dup), "doc_id")
+
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_dedup_ngram_jaccard(spark, sf_dir):
+        """Exact 3-gram Jaccard pairs (lang-blocked) over documents ∪ a
+        perturbed near-dup copy (first word dropped)."""
+        from ocr_system_spark.operators.dedup import (
+            ngram_jaccard_pairs, with_near_dup_copies)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        both = with_near_dup_copies(d, "doc_id")
+        p = ngram_jaccard_pairs(both, "doc_id", block_col="lang", min_jaccard_pct=50)
+        return p.select("id_a", "id_b", F.col("inter").cast("long").alias("inter"),
+                        F.col("uni").cast("long").alias("uni"))
+
+    q["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
+
+    def q_dedup_minhash_lsh(spark, sf_dir):
+        """MinHash(64)+LSH(16 bands) candidates, exact-verified at J≥0.7."""
+        from ocr_system_spark.operators.dedup import (
+            minhash_lsh_pairs, with_near_dup_copies)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        both = with_near_dup_copies(d, "doc_id")
+        p = minhash_lsh_pairs(both, "doc_id", min_jaccard_pct=70)
+        return p.select("id_a", "id_b", F.col("inter").cast("long").alias("inter"),
+                        F.col("uni").cast("long").alias("uni"))
+
+    q["dedup_minhash_lsh"] = q_dedup_minhash_lsh
+
+    def q_dedup_simhash(spark, sf_dir):
+        """SimHash near-dup pairs (Hamming ≤ 3) — hash-kernel-specific, so
+        rows-only for the driver; recall is asserted in pytest."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.dedup import (
+            simhash_pairs, with_near_dup_copies)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        both = with_near_dup_copies(d, "doc_id")
+        return simhash_pairs(both, "doc_id")
+
+    q["dedup_simhash"] = q_dedup_simhash
+
+    def q_embedding_topk(spark, sf_dir):
+        """Brute-force cosine top-5 for the first 20 query vectors."""
+        from ocr_system_spark.operators.similarity import brute_force_topk
+        e = tables.load(spark, sf_dir, "embeddings")
+        return brute_force_topk(e, e.filter(F.col("vec_id") < 20), k=5)
+
+    q["embedding_topk"] = q_embedding_topk
+
+    def q_embedding_lsh_topk(spark, sf_dir):
+        """SRP-LSH bucketed approximate top-5 (rows-only; recall vs brute
+        force asserted in pytest)."""
+        from ocr_system_spark.operators.similarity import lsh_topk
+        e = tables.load(spark, sf_dir, "embeddings")
+        return lsh_topk(e, e.filter(F.col("vec_id") < 20), k=5)
+
+    q["embedding_lsh_topk"] = q_embedding_lsh_topk
+
+    def q_embedding_dup_pairs(spark, sf_dir):
+        """Embedding-cosine near-dup pairs (≥0.95) over embeddings ∪ scaled
+        copies (exact duplicates up to scale → cosine ≈ 1)."""
+        from ocr_system_spark.operators.similarity import cosine_dup_pairs
+        e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        scaled = e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+        )
+        return cosine_dup_pairs(e.union(scaled), min_cosine=0.95)
+
+    q["embedding_dup_pairs"] = q_embedding_dup_pairs
+
+    def q_token_counts(spark, sf_dir):
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.textstats import with_token_counts
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return with_token_counts(d).select("doc_id", "ws_tokens", "bpeish_tokens")
+
+    q["token_counts"] = q_token_counts
+
+    def q_quality_features(spark, sf_dir):
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.textstats import with_quality
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return with_quality(d).select(
+            "doc_id", "n_chars", "n_words", "n_stopwords",
+            "punct_ratio", "upper_ratio")
+
+    q["quality_features"] = q_quality_features
+
+    def q_langid(spark, sf_dir):
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.textstats import with_langid
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return with_langid(d).select("doc_id", "lang_pred")
+
+    q["langid"] = q_langid
+
+    def q_fingerprint_md5(spark, sf_dir):
+        d = tables.load(spark, sf_dir, "documents")
+        return d.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("fp"))
+
+    q["fingerprint_md5"] = q_fingerprint_md5
+
+    def q_winnow_fingerprint(spark, sf_dir):
+        """Winnowing rolling-hash fingerprints (rows-only: blake2b-based)."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.textstats import with_winnow_fingerprint
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return with_winnow_fingerprint(d).select(
+            "doc_id", F.size("fingerprints").alias("n_fp"), "fingerprints")
+
+    q["winnow_fingerprint"] = q_winnow_fingerprint
+
+    def q_multimodal_meta(spark, sf_dir):
+        """Binary media column plumbing: typed metadata over opaque bytes."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.multimodal import (
+            decode_media_features, documents_as_media)
+        d = tables.load(spark, sf_dir, "documents")
+        feats = decode_media_features(documents_as_media(d))
+        return feats.select("id", "media_type", "n_bytes")
+
+    q["multimodal_meta"] = q_multimodal_meta
+
+    def q_frame_sample(spark, sf_dir):
+        """Frame-sampling plumbing: per-media frame slices (lengths are
+        SQL-checkable even though the decode is stubbed)."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.multimodal import (
+            documents_as_media, frame_sample_stub)
+        d = tables.load(spark, sf_dir, "documents")
+        frames = frame_sample_stub(documents_as_media(d))
+        return frames.select(
+            "id", "frame_idx", F.octet_length("frame").alias("n_frame_bytes"))
+
+    q["frame_sample"] = q_frame_sample
+
     def q_timestamp_window(spark, sf_dir):
         e = tables.load(spark, sf_dir, "events")
         return (
@@ -462,6 +606,133 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT s_nationkey AS nationkey FROM supplier)
     """
+    # ---- training-data pipeline oracles ------------------------------------
+
+    o["dedup_exact"] = """
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents)
+        SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+        FROM u GROUP BY md5(text)
+    """
+
+    _SHINGLE_BASE = r"""
+        base AS (
+            SELECT doc_id AS id, lang, trim(text) AS t FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, lang,
+                   array_to_string(
+                     regexp_split_to_array(trim(text), '\s+')[2:len(regexp_split_to_array(trim(text), '\s+'))],
+                     ' ')
+            FROM documents),
+        sh AS (
+            SELECT id, lang,
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT id, lang, regexp_split_to_array(t, '\s+') AS w FROM base)
+            WHERE len(w) >= 3)
+    """
+    o["dedup_ngram_jaccard"] = f"""
+        WITH {_SHINGLE_BASE}
+        SELECT id_a, id_b, inter, uni FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   len(list_intersect(a.s, b.s)) AS inter,
+                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id)
+        WHERE inter >= 1 AND 100 * inter >= 50 * uni
+    """
+    o["dedup_minhash_lsh"] = f"""
+        WITH {_SHINGLE_BASE}
+        SELECT id_a, id_b, inter, uni FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   len(list_intersect(a.s, b.s)) AS inter,
+                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+            FROM sh a JOIN sh b ON a.id < b.id)
+        WHERE inter >= 1 AND 100 * inter >= 70 * uni
+    """
+    o["embedding_topk"] = """
+        SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                b.vec_id) AS rk
+            FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+            WHERE a.vec_id < 20) t
+        WHERE rk <= 5
+    """
+    o["embedding_dup_pairs"] = """
+        WITH u AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(embedding, x -> x * CAST(1.01 AS FLOAT))
+            FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM u a JOIN u b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """
+    o["token_counts"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS bpeish_tokens
+        FROM documents
+    """
+    o["quality_features"] = r"""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               len(regexp_extract_all(text, '\S+')) AS n_words,
+               len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                   w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that'], w))) AS n_stopwords,
+               round(len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) * 1.0
+                     / strlen(text), 6) AS punct_ratio,
+               CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
+                    THEN round(len(regexp_extract_all(text, '[A-Z]')) * 1.0
+                               / len(regexp_extract_all(text, '[A-Za-z]')), 6)
+                    ELSE 0.0 END AS upper_ratio
+        FROM documents
+    """
+
+    # language-ID oracle: replicate the trigram-profile scoring in SQL,
+    # generated from the same profile constants (independent evaluation path)
+    from ocr_system_spark.functions.textstats import _LANG_PROFILES, _LANGS
+    score_exprs = {
+        lang: "(" + " + ".join(
+            f"CASE WHEN contains(pt, '{g}') THEN 1 ELSE 0 END"
+            for g in _LANG_PROFILES[lang]
+        ) + ")"
+        for lang in _LANGS
+    }
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+    pred_chain = " ".join(
+        f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in _LANGS
+    )
+    o["langid"] = f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {", ".join(f"{score_exprs[lang]} AS s_{lang}" for lang in _LANGS)}
+            FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS pt FROM documents))
+        SELECT doc_id,
+               CASE WHEN {mx} = 0 THEN 'und' {pred_chain} END AS lang_pred
+        FROM scored
+    """
+
+    o["fingerprint_md5"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+    o["multimodal_meta"] = """
+        SELECT doc_id AS id,
+               CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                               ELSE 'video/mp4' END AS media_type,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    """
+    o["frame_sample"] = """
+        SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
+               CAST(least(greatest(strlen(text) - f * greatest(strlen(text) // 4, 1), 0),
+                          greatest(strlen(text) // 4, 1)) AS BIGINT) AS n_frame_bytes
+        FROM documents, range(4) r(f)
+    """
+
     o["timestamp_window"] = """
         SELECT event_type, count(*) AS n, avg(value) AS avg_value
         FROM events

