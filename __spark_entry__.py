@@ -175,6 +175,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["static_fields_raw"] = q_static_fields_raw
 
+    def q_nonempty_filter(spark, sf_dir):
+        """W1 non-empty-result selection over the RAW static projection —
+        drops the rows whose whole extraction came up empty (changes the
+        row count, which is what the oracle checks)."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.extract import extract_fields_batch
+
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def batch(pdf):
+            tmp = pdf.rename(columns={"doc_id": "url"})
+            tmp["url"] = tmp["url"].astype(str)
+            out = extract_fields_batch(tmp)
+            return out[["license_id", "reference_id"]]
+
+        res = _keyed_kernel(d, ["license_id", "reference_id"], batch)
+        return res.filter(
+            (F.trim(F.coalesce(F.col("license_id"), F.lit(""))) != "")
+            | (F.trim(F.coalesce(F.col("reference_id"), F.lit(""))) != "")
+        )
+
+    q["nonempty_filter"] = q_nonempty_filter
+
     # ---- relational operators --------------------------------------------
 
     def q_agg_pricing(spark, sf_dir):
@@ -533,6 +556,24 @@ def oracle_sql() -> dict[str, str]:
                  ) IS NULL
                THEN 'No patterns matched' ELSE NULL END AS notes
         FROM documents
+    """
+
+    o["nonempty_filter"] = """
+        SELECT * FROM (
+            SELECT doc_id,
+                   COALESCE(
+                     NULLIF(regexp_extract(text, '(?i)\\bLIC[-_\\s]?\\d{3,}\\b', 0), ''),
+                     NULLIF(regexp_extract(text, '(?i)\\bLicense\\s*ID[:#-]*\\s*([A-Z0-9]{6,20})\\b', 1), ''),
+                     NULLIF(regexp_extract(text, '(?i)\\b[A-Z0-9]{6,20}\\b', 0), '')
+                   ) AS license_id,
+                   COALESCE(
+                     NULLIF(regexp_extract(text, '(?i)\\bREF[-_\\s]*([A-Z0-9]{4,10})\\b', 1), ''),
+                     NULLIF(regexp_extract(text, '(?i)\\b(?:Reference|Ref)[\\s:#-]*([A-Z0-9-]{4,10})\\b', 1), ''),
+                     NULLIF(regexp_extract(text, '(?i)\\b[A-Z0-9]{4,10}\\b', 0), '')
+                   ) AS reference_id
+            FROM documents) t
+        WHERE trim(COALESCE(license_id, '')) != ''
+           OR trim(COALESCE(reference_id, '')) != ''
     """
 
     # relational

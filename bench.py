@@ -1,0 +1,189 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extract_docs_per_sec": ...}
+
+Workloads:
+* extract_pipeline — the flagship: pages (documents wrapped in HTML chrome,
+  replicated ×4 ≈ 20k docs at sf0.1) → salt-bucketed fused extraction
+  (HTML main-content kernel + full regex field layer) → count+agg sink.
+  docs/sec from this is the BASELINE.md headline number.
+* fields_only    — regex field layer alone over raw text.
+* dedup_minhash  — MinHash+LSH near-dup pairs over documents ∪ perturbed.
+* dedup_exact    — content-hash dedup groups.
+* embedding_topk — brute-force cosine top-5, 50 queries vs full corpus.
+* agg_pricing / multi_join / window_topk / ordered_concat — relational ops
+  on the TPC-H-ish tables (lineitem 600k rows at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "4"))
+
+
+def build_pages(spark, sf_dir: str, replicate: int):
+    """documents → HTML pages, replicated ×replicate with distinct ids."""
+    from ocr_system_spark.sources.tables import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    if replicate > 1:
+        reps = spark.range(replicate).withColumnRenamed("id", "rep")
+        pages = (
+            pages.crossJoin(reps)
+            .withColumn("url", F.concat_ws("#", F.col("url"), F.col("rep")))
+            .drop("rep")
+        )
+    return pages
+
+
+def main() -> None:
+    from ocr_system_spark.operators import dedup, similarity
+    from ocr_system_spark.operators.extract import extract_fields
+    from ocr_system_spark.plans.pipeline import extract_all, with_buckets
+    from ocr_system_spark.session import get_spark
+    from ocr_system_spark.sources.tables import load
+
+    spark = get_spark(cores=CPUS, app_name="bench",
+                      shuffle_partitions=max(CPUS, 8))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- flagship extraction pipeline ------------------------------------
+    pages = build_pages(spark, SF_DIR, REPLICATE)
+    n_docs = pages.count()  # materialize input count outside the timing
+
+    # fork+import every Python worker once (regex compile, module import)
+    # before any timing — a long-lived cluster amortizes these to zero
+    warm = with_buckets(pages.limit(CPUS * 8).repartition(CPUS), n_buckets=CPUS)
+    extract_all(warm).count()
+
+    def run_pipeline():
+        bucketed = with_buckets(pages, n_buckets=max(CPUS * 4, 32),
+                                skew_bytes=1 << 20)
+        res = extract_all(bucketed)
+        row = res.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("extract_ok"), 0).otherwise(1)).alias("fails"),
+            F.count("license_id").alias("lic"),
+        ).collect()[0]
+        assert row["docs"] == n_docs, (row["docs"], n_docs)
+
+    timed("extract_pipeline", run_pipeline)
+    extras["extract_docs"] = n_docs
+    extras["extract_docs_per_sec"] = round(n_docs / timings["extract_pipeline"], 1)
+
+    # ---- regex field layer alone ------------------------------------------
+    def run_fields():
+        res = extract_fields(pages)
+        res.agg(F.count("license_id"), F.count("start_date")).collect()
+
+    timed("fields_only", run_fields)
+
+    # ---- dedup -------------------------------------------------------------
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    def run_minhash():
+        both = dedup.with_near_dup_copies(docs, "doc_id")
+        dedup.minhash_lsh_pairs(both, "doc_id", min_jaccard_pct=70).count()
+
+    timed("dedup_minhash", run_minhash)
+
+    def run_exact():
+        dup = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        dedup.exact_dedup_groups(docs.union(dup), "doc_id").count()
+
+    timed("dedup_exact", run_exact)
+
+    # ---- similarity ---------------------------------------------------------
+    emb = load(spark, SF_DIR, "embeddings")
+
+    def run_topk():
+        similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 50), k=5
+        ).count()
+
+    timed("embedding_topk", run_topk)
+
+    # ---- relational ----------------------------------------------------------
+    li = load(spark, SF_DIR, "lineitem")
+    orders = load(spark, SF_DIR, "orders")
+    cust = load(spark, SF_DIR, "customer")
+    nation = load(spark, SF_DIR, "nation")
+    region = load(spark, SF_DIR, "region")
+    events = load(spark, SF_DIR, "events")
+
+    def run_agg():
+        (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_quantity"), F.sum("l_extendedprice"),
+              F.avg("l_discount"), F.count(F.lit(1)))
+         .collect())
+
+    timed("agg_pricing", run_agg)
+
+    def run_join():
+        (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+         .groupBy("r_name")
+         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+         .collect())
+
+    timed("multi_join", run_join)
+
+    def run_window():
+        from pyspark.sql import Window as W
+        w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+        (events.withColumn("rk", F.row_number().over(w))
+         .filter(F.col("rk") <= 3).count())
+
+    timed("window_topk", run_window)
+
+    def run_concat():
+        (events.groupBy("user_id")
+         .agg(F.array_join(
+             F.transform(
+                 F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                 lambda x: x["event_type"]), ",").alias("seq"))
+         .count())
+
+    timed("ordered_concat", run_concat)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (extraction pipeline + dedup + similarity + relational)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        **extras,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -151,17 +151,23 @@ def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
     sig_i = min over shingles of pmod(a_i·(xxhash64(s) mod 2^31−1) + b_i, 2^31−1)."""
     params = _minhash_params(k, seed)
 
+    # hash each shingle ONCE (not once per permutation — a 64× saving),
+    # then run the k affine permutations over the integer hash array
+    hashes = F.transform(
+        F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))
+    )
+
     def perm(a: int, b: int):
-        def f(s):
-            h = F.pmod(F.xxhash64(s), F.lit(MERSENNE31))
+        def f(h):
             return F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31))
         return f
 
+    tmp = df.withColumn("_sh_hashes", hashes)
     sig = F.array(*[
-        F.array_min(F.transform(F.col(shingle_col), perm(a, b)))
+        F.array_min(F.transform(F.col("_sh_hashes"), perm(a, b)))
         for (a, b) in params
     ])
-    return df.withColumn(out_col, sig)
+    return tmp.withColumn(out_col, sig).drop("_sh_hashes")
 
 
 def minhash_lsh_pairs(
@@ -184,9 +190,12 @@ def minhash_lsh_pairs(
     operator targets it is < 1e-8.
     """
     rows = k // bands
+    # cache the shingle sets: they are read three times (both sides of the
+    # band self-join + the verification joins) and recomputing the shingle
+    # transform is the dominant cost
     sh = with_shingles(df, text_col, n).select(
         F.col(key_col).alias("id"), "shingles"
-    ).filter(F.size("shingles") > 0)
+    ).filter(F.size("shingles") > 0).cache()
     mh = with_minhash(sh, "shingles", k, seed=seed)
 
     band_structs = F.array(*[
@@ -202,7 +211,7 @@ def minhash_lsh_pairs(
     exploded = (
         mh.select("id", F.explode(band_structs).alias("b"))
         .select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
-    )
+    ).cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
     cand = (

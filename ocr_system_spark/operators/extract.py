@@ -68,6 +68,42 @@ def extract_fields_batch(
     return out
 
 
+def has_data_filter(results: DataFrame,
+                    dynamic_fields: Optional[List[str]] = None) -> DataFrame:
+    """W1 non-empty-result selection: keep a row iff ANY of licenses /
+    address / start_date / end_date / user fields is non-blank after trim
+    (reference: gui/app.py:487-497 — this predicate changes the output row
+    count, which is what the oracle checks)."""
+    from pyspark.sql import functions as F
+    cols = ["licenses", "address", "start_date", "end_date"] + (dynamic_fields or [])
+    pred = None
+    for c in cols:
+        p = F.trim(F.coalesce(F.col(c), F.lit(""))) != ""
+        pred = p if pred is None else (pred | p)
+    return results.filter(pred)
+
+
+def with_custom_column(
+    results: DataFrame,
+    fn,
+    name: str = "summary",
+) -> DataFrame:
+    """The reference's scalar-UDF extension point (`compute_new_column`,
+    ocr/postprocess.py:8): a user-supplied per-row function over the result
+    row, here as an Arrow-batched slot — fn(pandas.DataFrame) -> pandas.Series."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    in_cols = [c for c in results.columns if c != "spans"]
+
+    @F.pandas_udf(T.StringType())
+    def udf(s: pd.DataFrame) -> pd.Series:
+        return fn(s).astype(object)
+
+    return results.withColumn(name, udf(F.struct(*in_cols)))
+
+
 def extract_fields(
     pages: DataFrame,
     dynamic_config: Optional[Dict[str, List[str]]] = None,

@@ -90,31 +90,53 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def _bucket_array(vec_col: str, n_tables: int, n_planes: int, dim: int,
+                  seed: int) -> Column:
+    """Array of n_tables SRP bucket ids (one per independent hash table)."""
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
+        b = F.lit(0)
+        for i, p in enumerate(planes):
+            lit_plane = F.array(*[F.lit(x) for x in p])
+            bit = (dot(F.col(vec_col), lit_plane) > 0).cast("int")
+            b = b + (bit * (1 << i))
+        buckets.append(b + (t << n_planes))  # disjoint id space per table
+    return F.array(*buckets)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_tables: int = 6,
+    n_planes: int = 4,
     dim: int = 64,
+    seed: int = 424242,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's SRP bucket.
-    Recall is evaluated against brute_force_topk in tests (not an oracle —
-    approximation is the point)."""
-    c = with_lsh_bucket(
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "cv", n_planes, dim, out_col="c_bucket",
+    """Approximate top-k via MULTI-TABLE SRP LSH: a vector belongs to one
+    bucket per table; query candidates are the union over tables (classic
+    L-table LSH — single-probe recall on moderate-similarity neighbors is
+    poor, union-of-tables trades candidate count for recall). Candidates
+    are deduped before scoring, then ranked exactly. Recall vs
+    brute_force_topk is asserted in tests — approximation is the point."""
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.explode(_bucket_array(vec_col, n_tables, n_planes, dim, seed)).alias("c_bkt"),
     )
-    q = with_lsh_bucket(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "qv", n_planes, dim, out_col="q_bucket",
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(_bucket_array(vec_col, n_tables, n_planes, dim, seed)).alias("q_bkt"),
     )
-    scored = (
-        c.join(F.broadcast(q), (F.col("c_bucket") == F.col("q_bucket"))
+    cand = (
+        c.join(F.broadcast(q), (F.col("c_bkt") == F.col("q_bkt"))
                & (F.col("neighbor_id") != F.col("query_id")))
-        .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.withColumn("score", cosine(F.col("qv"), F.col("cv")))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

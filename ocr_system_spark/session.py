@@ -73,9 +73,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow transfer for every pandas UDF / mapInPandas stage.
+        # Arrow transfer for every pandas UDF / mapInPandas stage. Batch
+        # size 256: web-page rows are tens of KB, so 2048-row batches are
+        # ~60 MB — measured 40% slower than 256-row (~8 MB) batches on the
+        # heavy-page bench (memory churn in the Python workers).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         # Shuffle partitions sized to local cores, not the 200 default.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")

@@ -211,11 +211,14 @@ def generate_pages(
     seed: int = 42,
     skew_rows: int = 0,
     skew_factor: int = 200,
+    heft: int = 1,
 ) -> pd.DataFrame:
     """Build the synthetic pages table as pandas (deterministic).
 
     ``skew_rows`` rows get payloads ~``skew_factor``× median size to exercise
-    the oversize-blob skew-split (SURVEY §4.3.3).
+    the oversize-blob skew-split (SURVEY §4.3.3). ``heft`` multiplies the
+    main-content paragraph count — bench fixtures use heft>1 so page sizes
+    approach real web pages (tens of KB) instead of the ~2 KB test default.
     """
     rng = random.Random(seed)
     rows: List[Dict] = []
@@ -233,7 +236,7 @@ def generate_pages(
         elif r < 0.10:
             kind = "pdf"
             n_pages = rng.randint(1, 3)
-            mult = skew_factor if is_skew else 1
+            mult = heft * (skew_factor if is_skew else 1)
             page_tokens = [
                 [rng.choice(_WORDS) for _ in range(rng.randint(8, 24) * mult)]
                 for _ in range(n_pages)
@@ -251,9 +254,8 @@ def generate_pages(
             expected_main = PAGE_BREAK.join(expected_pdf_pages)
         else:
             kind = "html"
-            mult = skew_factor if is_skew else 1
-            n_paras = rng.randint(2, 5) * (mult if is_skew else 1)
-            main_paras = [_page_text(rng, rich=True) for _ in range(min(n_paras, 2000))]
+            n_paras = rng.randint(2, 5) * heft * (skew_factor if is_skew else 1)
+            main_paras = [_page_text(rng, rich=True) for _ in range(min(n_paras, 4000))]
             html = _html_payload(rng, main_paras, lang)
             boiler_text = "Home About Us Contact Careers Privacy Policy Terms"
             n_pages = 1 if rng.random() < 0.7 else rng.randint(2, 3)

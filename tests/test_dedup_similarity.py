@@ -84,15 +84,31 @@ def emb(spark):
 def test_lsh_topk_recall_vs_brute_force(spark, emb):
     queries = emb.filter(F.col("vec_id") < 20)
     brute = similarity.brute_force_topk(emb, queries, k=5).toPandas()
-    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=6).toPandas()
+    approx = similarity.lsh_topk(emb, queries, k=5, n_tables=6, n_planes=4).toPandas()
     bset = set(zip(brute["query_id"], brute["neighbor_id"]))
     aset = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(bset & aset) / len(bset)
-    # 6 planes → 64 buckets over 500 vecs: top-1-ish neighbors often share
-    # the bucket; demand a sane floor, not perfection (it IS approximate)
-    assert recall >= 0.25, f"recall {recall:.2f}"
-    # every approx neighbor must at least be bucket-consistent (same bucket)
+    # multi-table union: random 64-dim data is the WORST case for SRP
+    # (top neighbors sit at cosine ~0.4, i.e. near-orthogonal); 6 tables ×
+    # 4 planes must still recover half the true top-5 — deterministic for
+    # the fixed seed, so this is a regression pin, not a flaky bound
+    assert recall >= 0.5, f"recall {recall:.2f}"
     assert len(aset) > 0
+
+
+def test_lsh_topk_near_dup_recall_is_total(spark, emb):
+    """The operator's actual production shape: find the planted near-dup
+    (cosine ≈ 1). LSH recall at high similarity must be ~perfect."""
+    e = emb.select("vec_id", "embedding")
+    scaled = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"))
+    corpus = e.union(scaled)
+    approx = similarity.lsh_topk(corpus, corpus.filter(F.col("vec_id") >= 100000),
+                                 k=1, n_tables=6, n_planes=4).toPandas()
+    hits = sum(1 for _, r in approx.iterrows()
+               if r["neighbor_id"] == r["query_id"] - 100000 and r["rank"] == 1)
+    assert hits == 20, approx
 
 
 def test_cosine_dup_pairs_finds_scaled_copies(spark, emb):
