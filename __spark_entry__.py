@@ -481,6 +481,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_sample"] = q_frame_sample
 
+    def q_model_extract(spark, sf_dir):
+        """F15 model-UDF slot (reference's T5 branch shape): per-field
+        decode + validation, deterministic heuristic decoder in this
+        container. Enriched docs give known expected decodes."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.model_extract import model_extract
+        d = _enriched_docs(spark, sf_dir).select(
+            F.col("doc_id"), F.col("text"))
+        out = model_extract(d, id_col="doc_id", text_col="text")
+        return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                          "license_id", "date", "reference_id")
+
+    q["model_extract"] = q_model_extract
+
     def q_timestamp_window(spark, sf_dir):
         e = tables.load(spark, sf_dir, "events")
         return (
@@ -772,6 +786,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(greatest(strlen(text) - f * greatest(strlen(text) // 4, 1), 0),
                           greatest(strlen(text) // 4, 1)) AS BIGINT) AS n_frame_bytes
         FROM documents, range(4) r(f)
+    """
+
+    o["model_extract"] = """
+        SELECT doc_id,
+               'LIC-' || CAST(doc_id*37 % 90000 + 10000 AS VARCHAR) AS license_id,
+               lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/05/2024' AS date,
+               'REF-AB' || CAST(doc_id*13 % 9000 + 1000 AS VARCHAR) AS reference_id
+        FROM documents
     """
 
     o["timestamp_window"] = """

@@ -85,6 +85,20 @@ def get_spark(
         # Idempotent per-bucket overwrite for checkpoint-resume (plans/resume.py).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # Shuffle/spill through RAM-backed tmpfs when present: the sandbox
+        # has ONE local disk whose fixed bandwidth otherwise serializes
+        # shuffles; tmpfs models a cluster's per-node local SSDs. Opt out
+        # with SPARK_GRAFT_DISK_SHUFFLE=1.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark_local"
+                if os.path.isdir("/dev/shm")
+                and not os.environ.get("SPARK_GRAFT_DISK_SHUFFLE")
+                else os.path.join(os.sep, "tmp"),
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
