@@ -481,6 +481,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_sample"] = q_frame_sample
 
+    def q_media_resize(spark, sf_dir):
+        """Resize plumbing: output byte budget is SQL-checkable even with
+        the decode stubbed (stride decimation: ceil-div step)."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.multimodal import (
+            documents_as_media, resize_stub)
+        d = tables.load(spark, sf_dir, "documents")
+        out = resize_stub(documents_as_media(d), target_bytes=100)
+        return out.select("id", "orig_bytes", "resized_bytes")
+
+    q["media_resize"] = q_media_resize
+
+    def q_pivot(spark, sf_dir):
+        e = tables.load(spark, sf_dir, "events")
+        types = [r.event_type for r in
+                 e.select("event_type").distinct().orderBy("event_type").collect()]
+        p = (e.groupBy("user_id").pivot("event_type", types)
+             .agg(F.count(F.lit(1))))
+        cols = [F.col("user_id")] + [
+            F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types]
+        return p.select(*cols)
+
+    q["pivot_counts"] = q_pivot
+
+    def q_cube(spark, sf_dir):
+        li = tables.load(spark, sf_dir, "lineitem")
+        return (li.cube("l_returnflag", "l_linestatus")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    q["cube_counts"] = q_cube
+
     def q_model_extract(spark, sf_dir):
         """F15 model-UDF slot (reference's T5 branch shape): per-field
         decode + validation, deterministic heuristic decoder in this
@@ -786,6 +818,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(greatest(strlen(text) - f * greatest(strlen(text) // 4, 1), 0),
                           greatest(strlen(text) // 4, 1)) AS BIGINT) AS n_frame_bytes
         FROM documents, range(4) r(f)
+    """
+
+    o["media_resize"] = """
+        SELECT doc_id AS id,
+               CAST(strlen(text) AS BIGINT) AS orig_bytes,
+               CAST(CASE WHEN strlen(text) <= 100 THEN strlen(text)
+                    ELSE CAST(ceil(strlen(text) * 1.0 /
+                         CAST(ceil(strlen(text) / 100.0) AS BIGINT)) AS BIGINT)
+                    END AS BIGINT) AS resized_bytes
+        FROM documents
+    """
+    o["pivot_counts"] = """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        FROM events GROUP BY user_id
+    """
+    o["cube_counts"] = """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """
 
     o["model_extract"] = """

@@ -95,6 +95,37 @@ def frame_sample_stub(df: DataFrame, id_col: str = "id", media_col: str = "media
     return df.select(id_col, media_col).mapInPandas(run, schema=schema)
 
 
+def resize_stub(df: DataFrame, id_col: str = "id", media_col: str = "media",
+                target_bytes: int = 1024) -> DataFrame:
+    """Image-resize plumbing: media binary → fixed-budget binary. Without a
+    codec the 'resize' is a deterministic stride-decimation of the payload
+    bytes to ≤ target_bytes — schema, Arrow batch shape and output-size
+    contract match a real thumbnailer; swap the inner function for
+    PIL.Image.thumbnail when a codec exists."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("orig_bytes", T.LongType(), False),
+        T.StructField("resized_bytes", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(b) if b is not None else b""
+                if len(b) <= target_bytes:
+                    out = b
+                else:
+                    step = -(-len(b) // target_bytes)  # ceil div
+                    out = b[::step]
+                rows.append((int(i), out, len(b), len(out)))
+            yield pd.DataFrame(
+                rows, columns=["id", "resized", "orig_bytes", "resized_bytes"])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=schema)
+
+
 def documents_as_media(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Testdata adapter: treat utf-8 text bytes as an opaque media payload
