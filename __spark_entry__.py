@@ -402,6 +402,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_lsh_topk"] = q_embedding_lsh_topk
 
+    def q_embedding_ivf_topk(spark, sf_dir):
+        """IVF approximate top-5 (deterministic centroid sample, nprobe=4
+        of 16 cells → ~25% scan; rows-only — recall pinned in pytest)."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.similarity import ivf_topk
+        e = tables.load(spark, sf_dir, "embeddings")
+        return ivf_topk(e, e.filter(F.col("vec_id") < 20), k=5)
+
+    q["embedding_ivf_topk"] = q_embedding_ivf_topk
+
     def q_embedding_dup_pairs(spark, sf_dir):
         """Embedding-cosine near-dup pairs (≥0.95) over embeddings ∪ scaled
         copies (exact duplicates up to scale → cosine ≈ 1)."""

@@ -111,6 +111,29 @@ def test_lsh_topk_near_dup_recall_is_total(spark, emb):
     assert hits == 20, approx
 
 
+def test_ivf_topk_recall_and_near_dups(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    ivf = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).toPandas()
+    bset = set(zip(brute["query_id"], brute["neighbor_id"]))
+    iset = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(bset & iset) / len(bset)
+    # scanning ~n_probe/n_centroids = 25% of the corpus must beat chance
+    # clearly; deterministic for fixed data/centroids (regression pin)
+    assert recall >= 0.4, f"recall {recall:.2f}"
+    # near-dup case: the planted scaled copy shares its cell ⇒ rank 1
+    e = emb.select("vec_id", "embedding")
+    scaled = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"))
+    corpus = e.union(scaled)
+    out = similarity.ivf_topk(corpus, corpus.filter(F.col("vec_id") >= 100000),
+                              k=1).toPandas()
+    hits = sum(1 for _, r in out.iterrows()
+               if r["neighbor_id"] == r["query_id"] - 100000 and r["rank"] == 1)
+    assert hits == 10
+
+
 def test_cosine_dup_pairs_finds_scaled_copies(spark, emb):
     e = emb.select("vec_id", "embedding")
     scaled = e.select((F.col("vec_id") + 100000).alias("vec_id"),
