@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the plan properties that matter at
+100 TB must hold, not just the results (SURVEY §4.2).
+
+These assert against the formatted physical plan string — crude but
+effective regression pins: a change that silently turns a broadcast join
+into a cartesian product, or starts scanning all columns for a two-column
+projection, fails here long before it fails at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from ocr_system_spark.plans.pipeline import extract_all, with_buckets
+from ocr_system_spark.sources.tables import load, pages_from_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_extraction_pipeline_is_narrow_and_pruned(spark):
+    pages = pages_from_documents(spark, SF)
+    res = extract_all(with_buckets(pages, 16))
+    p = plan_of(res)
+    # no shuffle anywhere in the unbucketed pipeline
+    assert "Exchange" not in p, p
+    # the parquet scan reads only the columns the page build needs
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in p, p
+
+
+def test_fields_only_prunes_html(spark):
+    from ocr_system_spark.operators.extract import extract_fields
+    pages = pages_from_documents(spark, SF)
+    res = extract_fields(pages)
+    p = plan_of(res)
+    # html is never built nor shipped when only the text fields are needed:
+    # the Encode(concat(...)) page-render expression must be pruned away
+    assert "Encode" not in p, p
+
+
+def test_multi_join_broadcasts_dims(spark):
+    df = entry.queries()["multi_join"](spark, SF)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_agg_pricing_pushes_filter_to_scan(spark):
+    df = entry.queries()["agg_pricing"](spark, SF)
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, p
+    # partial (map-side) aggregation before the exchange
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_semi_anti_join_strategies(spark):
+    qs = entry.queries()
+    for name in ["semi_join", "anti_join"]:
+        p = plan_of(qs[name](spark, SF))
+        assert ("LeftSemi" in p) or ("LeftAnti" in p), (name, p)
+        assert "CartesianProduct" not in p
+
+
+def test_column_pruning_on_projection(spark):
+    li = load(spark, SF, "lineitem")
+    df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    p = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p, p
