@@ -491,6 +491,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_sample"] = q_frame_sample
 
+    def q_sessionize(spark, sf_dir):
+        """Gap-based sessionization (batch form of the stateful streaming
+        operator): 30-min gap sessions per user over events."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.streaming.sessionize import sessionize_batch
+        e = tables.load(spark, sf_dir, "events")
+        out = sessionize_batch(e, gap_min=30)
+        return out.select(
+            "user_id", F.col("session_id").cast("long").alias("session_id"),
+            "session_start", "session_end", "n_events",
+            F.round("total_value", 6).alias("total_value"))
+
+    q["sessionize"] = q_sessionize
+
+    def q_grouping_sets(spark, sf_dir):
+        li = tables.load(spark, sf_dir, "lineitem")
+        li.createOrReplaceTempView("lineitem_gs")
+        return spark.sql("""
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+            FROM lineitem_gs
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """)
+
+    q["grouping_sets"] = q_grouping_sets
+
+    def q_distinct_agg(spark, sf_dir):
+        li = tables.load(spark, sf_dir, "lineitem")
+        return (li.groupBy("l_returnflag")
+                .agg(F.countDistinct("l_orderkey").alias("n_orders"),
+                     F.countDistinct("l_suppkey", "l_partkey").alias("n_sp"),
+                     F.count(F.lit(1)).alias("n_rows")))
+
+    q["distinct_agg"] = q_distinct_agg
+
+    def q_set_ops(spark, sf_dir):
+        """INTERSECT / EXCEPT: nations having customers vs suppliers."""
+        c = tables.load(spark, sf_dir, "customer").select(
+            F.col("c_nationkey").alias("nationkey")).distinct()
+        s = tables.load(spark, sf_dir, "supplier").select(
+            F.col("s_nationkey").alias("nationkey")).distinct()
+        both = c.intersect(s).withColumn("tag", F.lit("both"))
+        only_c = c.exceptAll(s).withColumn("tag", F.lit("cust_only"))
+        return both.union(only_c)
+
+    q["set_ops"] = q_set_ops
+
+    def q_date_funcs(spark, sf_dir):
+        e = tables.load(spark, sf_dir, "events")
+        return (e.groupBy(
+                    F.date_trunc("day", F.col("ts")).alias("day"),
+                    F.hour("ts").alias("hour"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 5))
+
+    q["date_funcs"] = q_date_funcs
+
+    def q_string_funcs(spark, sf_dir):
+        d = tables.load(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.upper(F.substring("text", 1, 20)).alias("head_uc"),
+            F.length(F.translate("text", "aeiou", "")).alias("n_consonant_chars"),
+            F.reverse(F.split(F.trim("text"), r"\s+"))[0].alias("last_word"),
+            F.levenshtein(F.substring("text", 1, 10),
+                          F.substring("text", 11, 10)).alias("lev"),
+        )
+
+    q["string_funcs"] = q_string_funcs
+
     def q_media_resize(spark, sf_dir):
         """Resize plumbing: output byte budget is SQL-checkable even with
         the decode stubbed (stride decimation: ceil-div step)."""
@@ -828,6 +897,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(greatest(strlen(text) - f * greatest(strlen(text) // 4, 1), 0),
                           greatest(strlen(text) // 4, 1)) AS BIGINT) AS n_frame_bytes
         FROM documents, range(4) r(f)
+    """
+
+    o["sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+            SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM sess GROUP BY user_id, session_id
+    """
+
+    o["grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """
+    o["distinct_agg"] = """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               count(DISTINCT (l_suppkey, l_partkey)) AS n_sp,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """
+    o["set_ops"] = """
+        WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+             s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        UNION ALL
+        SELECT nationkey, 'cust_only' AS tag FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+    """
+    o["date_funcs"] = """
+        SELECT date_trunc('day', ts) AS day,
+               CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+               count(*) AS n
+        FROM events GROUP BY 1, 2 HAVING count(*) > 5
+    """
+    o["string_funcs"] = """
+        SELECT doc_id,
+               upper(substring(text, 1, 20)) AS head_uc,
+               CAST(strlen(list_aggregate(
+                   list_filter(string_split(text, ''),
+                               ch -> NOT list_contains(['a','e','i','o','u'], ch)),
+                   'string_agg', '')) AS INTEGER) AS n_consonant_chars,
+               regexp_split_to_array(trim(text), '\\s+')[-1] AS last_word,
+               CAST(levenshtein(substring(text, 1, 10), substring(text, 11, 10)) AS INTEGER) AS lev
+        FROM documents
     """
 
     o["media_resize"] = """
