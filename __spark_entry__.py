@@ -491,6 +491,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_sample"] = q_frame_sample
 
+    def q_dynamic_fields(spark, sf_dir):
+        """F9 dynamic multi-field projection over enriched text, including
+        the ''-for-miss semantics (NOT null — differs from the static layer)
+        and a deliberately invalid pattern that must be dropped driver-side."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.extract import extract_fields_batch
+
+        cfg = {
+            "permit": [r"\bLIC[-_\s]?(\d{3,})\b"],
+            "zone": [r"Zone\s+(\d)\b"],
+            "nothing": [r"([bad", r"\bZZZNOPE\b"],
+        }
+
+        def batch(pdf):
+            tmp = pdf.rename(columns={"doc_id": "url"})
+            tmp["url"] = tmp["url"].astype(str)
+            out = extract_fields_batch(tmp, dynamic_config=cfg)
+            return out[["permit", "zone", "nothing"]]
+
+        return _keyed_kernel(
+            _enriched_docs(spark, sf_dir), ["permit", "zone", "nothing"], batch)
+
+    q["dynamic_fields"] = q_dynamic_fields
+
     def q_sessionize(spark, sf_dir):
         """Gap-based sessionization (batch form of the stateful streaming
         operator): 30-min gap sessions per user over events."""
@@ -897,6 +921,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(greatest(strlen(text) - f * greatest(strlen(text) // 4, 1), 0),
                           greatest(strlen(text) // 4, 1)) AS BIGINT) AS n_frame_bytes
         FROM documents, range(4) r(f)
+    """
+
+    o["dynamic_fields"] = """
+        SELECT doc_id,
+               CAST(doc_id*37 % 90000 + 10000 AS VARCHAR) AS permit,
+               CAST(doc_id % 9 + 1 AS VARCHAR) AS zone,
+               '' AS nothing
+        FROM documents
     """
 
     o["sessionize"] = """
