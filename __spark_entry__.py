@@ -491,6 +491,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_sample"] = q_frame_sample
 
+    def q_asof_join(spark, sf_dir):
+        """As-of join (no Spark built-in — union+window composition): each
+        purchase event gets the same user's most recent prior view event."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.asof import asof_join
+        e = tables.load(spark, sf_dir, "events")
+        purchases = e.filter(F.col("event_type") == "purchase") \
+            .select("user_id", "ts", "event_id")
+        views = e.filter(F.col("event_type") == "view") \
+            .select("user_id", "ts",
+                    F.col("event_id").alias("view_event_id"),
+                    F.col("value").alias("view_value"))
+        out = asof_join(purchases, views, on="ts", by="user_id",
+                        right_cols=["view_event_id", "view_value"])
+        return out.select(
+            "user_id", "event_id",
+            F.col("view_event_id_asof").alias("view_event_id"),
+            F.round(F.col("view_value_asof"), 6).alias("view_value"))
+
+    q["asof_join"] = q_asof_join
+
     def q_dynamic_fields(spark, sf_dir):
         """F9 dynamic multi-field projection over enriched text, including
         the ''-for-miss semantics (NOT null — differs from the static layer)
@@ -921,6 +942,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(greatest(strlen(text) - f * greatest(strlen(text) // 4, 1), 0),
                           greatest(strlen(text) // 4, 1)) AS BIGINT) AS n_frame_bytes
         FROM documents, range(4) r(f)
+    """
+
+    o["asof_join"] = """
+        WITH p AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, ts, event_id AS view_event_id,
+                          value AS view_value
+                   FROM events WHERE event_type = 'view')
+        SELECT p.user_id, p.event_id,
+               v.view_event_id,
+               round(v.view_value, 6) AS view_value
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
     """
 
     o["dynamic_fields"] = """
