@@ -49,7 +49,10 @@ def build_pages(spark, sf_dir: str, replicate: int):
             .withColumn("url", F.concat_ws("#", F.col("url"), F.col("rep")))
             .drop("rep")
         )
-    return pages
+    # the single-file parquet scan yields 1-2 partitions — spread to the
+    # core count or the whole suite runs on 2 of 32 cores (a real crawl
+    # table arrives in thousands of splits)
+    return pages.repartition(CPUS * 2)
 
 
 def main() -> None:
