@@ -491,6 +491,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_sample"] = q_frame_sample
 
+    def q_range_join(spark, sf_dir):
+        """Range (interval) join: per purchase, how many same-user events of
+        any kind land in the following 5 minutes. Equi on user + range on
+        ts → sort-merge join with a residual range filter."""
+        e = tables.load(spark, sf_dir, "events")
+        p = e.filter(F.col("event_type") == "purchase") \
+            .select(F.col("user_id").alias("p_user"),
+                    F.col("event_id").alias("p_event"),
+                    F.col("ts").alias("p_ts"))
+        joined = p.join(
+            e,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("ts") > F.col("p_ts"))
+            & (F.col("ts") <= F.col("p_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "left",
+        )
+        return (joined.groupBy("p_user", "p_event")
+                .agg(F.count(F.col("event_id")).alias("n_following")))
+
+    q["range_join"] = q_range_join
+
     def q_asof_join(spark, sf_dir):
         """As-of join (no Spark built-in — union+window composition): each
         purchase event gets the same user's most recent prior view event."""
@@ -942,6 +963,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(greatest(strlen(text) - f * greatest(strlen(text) // 4, 1), 0),
                           greatest(strlen(text) // 4, 1)) AS BIGINT) AS n_frame_bytes
         FROM documents, range(4) r(f)
+    """
+
+    o["range_join"] = """
+        SELECT p.user_id AS p_user, p.event_id AS p_event,
+               count(e.event_id) AS n_following
+        FROM (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 5 MINUTE
+        GROUP BY p.user_id, p.event_id
     """
 
     o["asof_join"] = """
