@@ -44,7 +44,10 @@ _MARKUP_RE = re.compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<![^>]*>"                              # doctype & other declarations
     r"|<\?[^>]*>"                             # processing instructions
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>",
+    # NOTE the lazy attr group + anchored slash: a greedy attr group would
+    # consume the trailing '/' itself (since '/' matches [^>"']), so the
+    # self-closing capture would never fire and <a/> would leak link_depth.
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)\s*(/?)>",
     re.DOTALL,
 )
 

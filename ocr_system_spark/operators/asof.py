@@ -20,6 +20,7 @@ from typing import List
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
@@ -36,32 +37,40 @@ def asof_join(
     ``right_cols`` are the right-side payload columns to carry. Ties on the
     timestamp prefer the right row (right sorts before left at equal ts),
     matching DuckDB's ASOF semantics (>= match on equal timestamps).
+
+    All payload columns are carried as ONE struct so they always come from
+    the SAME matched right row. Carrying each column independently with
+    last(ignorenulls) would backfill a NULL payload value from an OLDER
+    right row — true ASOF semantics attach the matched row's value even
+    when that value is NULL.
     """
     lcols = left.columns
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l_tagged = left.select(
         F.col(by), F.col(on),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols if c not in (by, on)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(payload_t).alias("_r"),
     )
     r_tagged = right.select(
         F.col(by), F.col(on),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in (by, on)],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
     w = (W.partitionBy(by).orderBy(F.col(on), F.col("_side"))
          .rowsBetween(W.unboundedPreceding, 0))
-    carried = unioned.select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-          for c in right_cols],
-    )
+    carried = unioned.withColumn("_rm", F.last("_r", ignorenulls=True).over(w))
     return (
         carried.filter(F.col("_side") == 1)
-        .drop("_side", *[f"_r_{c}" for c in right_cols])
+        .select(
+            "*",
+            *[F.col("_rm")[c].alias(f"{c}{suffix}") for c in right_cols],
+        )
+        .drop("_side", "_r", "_rm")
     )

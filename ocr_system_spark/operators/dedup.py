@@ -114,18 +114,33 @@ def ngram_jaccard_pairs(
 
     ``max_group`` drops shingles shared by more than that many docs — they
     contribute no discriminative signal and are the quadratic-blowup hazard
-    at scale.
+    at scale. When the guard fires, the hot shingles are removed from the
+    per-doc shingle SETS before anything is counted, so inter/uni/n_sh are
+    all computed over the same (non-frequent) universe — the output stays
+    exactly "Jaccard over non-frequent shingles", never a mixed count.
     """
-    sh = with_shingles(df, text_col, n).select(
+    base = with_shingles(df, text_col, n).select(
         F.col(key_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
+        "shingles",
     )
-    # frequent-shingle guard
-    freq = sh.groupBy("blk", "shingle").agg(F.count(F.lit(1)).alias("g"))
-    sh = sh.join(F.broadcast(freq.filter(F.col("g") > max_group)),
-                 ["blk", "shingle"], "left_anti")
+    # frequent-shingle guard: the hot set is tiny by construction (shingles
+    # in > max_group docs), so collect it per block and broadcast; subtract
+    # from the arrays BEFORE sizing so n_sh matches the joined universe.
+    freq = (base.select("blk", F.explode("shingles").alias("shingle"))
+            .groupBy("blk", "shingle").agg(F.count(F.lit(1)).alias("g")))
+    hot = (freq.filter(F.col("g") > max_group)
+           .groupBy("blk").agg(F.collect_list("shingle").alias("hot")))
+    sh = (
+        base.join(F.broadcast(hot), "blk", "left")
+        .withColumn(
+            "shingles",
+            F.when(F.col("hot").isNotNull(),
+                   F.array_except("shingles", "hot")).otherwise(F.col("shingles")),
+        )
+        .select("id", "blk", F.size("shingles").alias("n_sh"),
+                F.explode("shingles").alias("shingle"))
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (

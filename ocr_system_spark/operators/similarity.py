@@ -55,7 +55,7 @@ def _collect_matrix(queries: DataFrame, id_col: str, vec_col: str):
     rows = queries.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     return ids, mat
 
 

@@ -144,8 +144,15 @@ def run_extraction(
 
     results = extract_all(remaining_df, dynamic_config)
     results_path = os.path.join(out_dir, "results")
+    # Exactly-once resume REQUIRES dynamic partition overwrite: with Spark's
+    # default static mode, mode("overwrite") truncates the whole results_path
+    # and a resumed run would silently wipe every previously completed bucket
+    # while its manifest still says "done". Set it here so the guarantee does
+    # not depend on which session factory built `spark` (get_spark sets it,
+    # a vanilla SparkSession.builder does not).
     (
         results.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket_id")
         .parquet(results_path)
     )
