@@ -458,12 +458,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint_md5"] = q_fingerprint_md5
 
     def q_winnow_fingerprint(spark, sf_dir):
-        """Winnowing rolling-hash fingerprints (rows-only: blake2b-based)."""
+        """Winnowing fingerprints as scalar (doc_id, pos, fp) rows. The
+        k-gram hash is a codepoint polynomial mod 2^31-1, so the DuckDB
+        oracle recomputes the whole algorithm independently in SQL."""
         ensure_package_on_executors(spark)
-        from ocr_system_spark.operators.textstats import with_winnow_fingerprint
+        from ocr_system_spark.operators.textstats import winnow_fingerprints
         d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-        return with_winnow_fingerprint(d).select(
-            "doc_id", F.size("fingerprints").alias("n_fp"), "fingerprints")
+        return winnow_fingerprints(d, id_col="doc_id", text_col="text")
 
     q["winnow_fingerprint"] = q_winnow_fingerprint
 
@@ -951,6 +952,44 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["fingerprint_md5"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+    # winnowing oracle: recompute the WHOLE algorithm in SQL — codepoint
+    # Horner hash per k-gram (k=8, base 257, mod 2^31-1), windows of 4
+    # consecutive k-gram hashes, rightmost-minimum selection, distinct set.
+    _horner = "CAST(0 AS BIGINT)"
+    for _j in range(8):
+        _horner = (f"(({_horner}) * 257 + "
+                   f"unicode(substr(t, CAST(pos AS INTEGER) + {_j + 1}, 1)))"
+                   " % 2147483647")
+    o["winnow_fingerprint"] = f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                        translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                        'abcdefghijklmnopqrstuvwxyz'),
+                        '[\\t\\n\\f\\r ]+', ' ', 'g'), ' ') AS t
+            FROM documents),
+        grams0 AS (
+            SELECT doc_id, t,
+                   unnest(range(0, greatest(length(t) - 7, 0))) AS pos
+            FROM norm),
+        grams AS (
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos, {_horner} AS h
+            FROM grams0),
+        ng AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        wins AS (
+            SELECT doc_id,
+                   CAST(unnest(range(0, CASE WHEN n > 4 THEN n - 3 ELSE 1 END))
+                        AS BIGINT) AS s
+            FROM ng),
+        sel AS (
+            SELECT wins.doc_id, grams.pos, grams.h,
+                   row_number() OVER (PARTITION BY wins.doc_id, wins.s
+                                      ORDER BY grams.h ASC, grams.pos DESC) AS rk
+            FROM wins JOIN grams ON grams.doc_id = wins.doc_id
+                                AND grams.pos BETWEEN wins.s AND wins.s + 3)
+        SELECT DISTINCT doc_id, pos, h AS fp FROM sel WHERE rk = 1
+    """
     o["multimodal_meta"] = """
         SELECT doc_id AS id,
                CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'

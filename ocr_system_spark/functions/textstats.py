@@ -10,7 +10,7 @@ Two tiers per operator:
 
 from __future__ import annotations
 
-import hashlib
+
 import re
 from typing import Dict, List, Tuple
 
@@ -113,26 +113,49 @@ def token_count_batch(texts: pd.Series) -> pd.DataFrame:
 # winnowing fingerprint (rolling hash + local-minimum selection)
 # ---------------------------------------------------------------------------
 
-def winnow_fingerprint_one(text: str, k: int = 8, window: int = 4) -> List[int]:
+# The k-gram hash is a codepoint-polynomial (Horner) mod a Mersenne prime —
+# deliberately NOT a cryptographic hash: every piece (unicode codepoints,
+# multiply-add, mod) is expressible in ANSI SQL, so an independent engine
+# (the DuckDB oracle) can recompute the fingerprints from scratch. The
+# normalization alphabet is pinned to what RE2 and Python `re` agree on:
+# ASCII whitespace collapse and ASCII-only lowercasing (full Unicode
+# lowercasing differs between engines on chars like U+0130).
+WINNOW_BASE = 257
+WINNOW_MOD = (1 << 31) - 1
+
+_WS_COLLAPSE = re.compile(r"[\t\n\f\r ]+")
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
+def winnow_normalize(text: str) -> str:
+    return _WS_COLLAPSE.sub(" ", (text or "").translate(_ASCII_LOWER)).strip(" ")
+
+
+def winnow_fingerprint_one(text: str, k: int = 8, window: int = 4) -> List[Tuple[int, int]]:
     """Winnowing (Schleimer et al., SIGMOD'03): hash every k-gram of the
-    normalized text, slide a window of size ``window``, keep each window's
-    minimum hash (rightmost on ties) — a position-robust document
-    fingerprint. Returns sorted distinct fingerprint values."""
-    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
-    if len(t) < k:
+    normalized text, slide a window of ``window`` consecutive k-gram hashes,
+    keep each window's minimum (rightmost position on ties) — a
+    position-robust document fingerprint. Returns the selected set as
+    sorted distinct (pos, fingerprint) pairs; ``pos`` is the 0-based k-gram
+    start in the normalized text."""
+    t = winnow_normalize(text)
+    n = len(t) - k + 1
+    if n <= 0:
         return []
-    data = t.encode()
-    hashes = np.empty(len(t) - k + 1, dtype=np.uint64)
-    for i in range(len(hashes)):
-        hashes[i] = int.from_bytes(
-            hashlib.blake2b(data[i:i + k], digest_size=8).digest(), "big"
-        )
-    if len(hashes) <= window:
-        return [int(hashes.min())]
-    # sliding-window minima via stride tricks
-    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
-    mins = sw.min(axis=1)
-    return sorted({int(m) for m in mins})
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(k):                       # Horner over the k columns
+        h = (h * WINNOW_BASE + cps[j:j + n]) % WINNOW_MOD
+    if n <= window:
+        sw = h[None, :]                      # single (short) window
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    # rightmost minimum per window: argmin of the reversed window
+    right_idx = sw.shape[1] - 1 - np.argmin(sw[:, ::-1], axis=1)
+    pos = np.arange(sw.shape[0], dtype=np.int64) + right_idx
+    sel = np.unique(pos)
+    return [(int(p), int(h[p])) for p in sel]
 
 
 def winnow_fingerprint_batch(texts: pd.Series, k: int = 8, window: int = 4) -> pd.Series:

@@ -49,12 +49,25 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("t", udf(F.col(text_col))).select("*", "t.*").drop("t")
 
 
-def with_winnow_fingerprint(df: DataFrame, text_col: str = "text",
-                            out_col: str = "fingerprints") -> DataFrame:
-    @F.pandas_udf(T.ArrayType(T.LongType()))
+FP_STRUCT = T.ArrayType(T.StructType([
+    T.StructField("pos", T.LongType(), False),
+    T.StructField("fp", T.LongType(), False),
+]))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        window: int = 4) -> DataFrame:
+    """Winnowing fingerprints as SCALAR rows (id, pos, fp) — one row per
+    selected k-gram. Scalar output (not array<long>) so downstream joins,
+    aggregations, and cross-engine comparison all work on plain columns."""
+    @F.pandas_udf(FP_STRUCT)
     def udf(texts: pd.Series) -> pd.Series:
-        return K.winnow_fingerprint_batch(texts).map(
-            lambda xs: [x - (1 << 64) if x >= (1 << 63) else x for x in xs]
+        return K.winnow_fingerprint_batch(texts, k, window).map(
+            lambda xs: [{"pos": p, "fp": v} for p, v in xs]
         )
 
-    return df.withColumn(out_col, udf(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), F.explode(udf(F.col(text_col))).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )

@@ -28,14 +28,26 @@ def test_langid_on_real_phrases():
 def test_winnowing_position_robust():
     base = "the quick brown fox jumps over the lazy dog " * 4
     shifted = "PREFIX " + base
-    fp_a = set(K.winnow_fingerprint_one(base))
-    fp_b = set(K.winnow_fingerprint_one(shifted))
+    # hash VALUES survive a position shift (positions move by len(prefix))
+    fp_a = {f for _, f in K.winnow_fingerprint_one(base)}
+    fp_b = {f for _, f in K.winnow_fingerprint_one(shifted)}
     # winnowing guarantees shared fingerprints for shared substrings
     overlap = len(fp_a & fp_b) / len(fp_a)
     assert overlap > 0.7, overlap
     # unrelated text shares ~nothing
-    fp_c = set(K.winnow_fingerprint_one("completely different content here entirely " * 4))
+    fp_c = {f for _, f in K.winnow_fingerprint_one(
+        "completely different content here entirely " * 4)}
     assert len(fp_a & fp_c) / len(fp_a) < 0.1
+
+
+def test_winnowing_shift_moves_positions_exactly():
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    a = K.winnow_fingerprint_one(base)
+    b = K.winnow_fingerprint_one("xyzpad " + base)
+    shifted_b = {(p - 7, f) for p, f in b if p >= 7}
+    # away from the edge, the selected (pos, fp) set is identical mod shift
+    core_a = {(p, f) for p, f in a if 10 <= p < len(base) - 20}
+    assert core_a <= shifted_b
 
 
 def test_quality_features_values():
