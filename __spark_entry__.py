@@ -374,8 +374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = q_dedup_minhash_lsh
 
     def q_dedup_simhash(spark, sf_dir):
-        """SimHash near-dup pairs (Hamming ≤ 3) — hash-kernel-specific, so
-        rows-only for the driver; recall is asserted in pytest."""
+        """SimHash near-dup pairs (Hamming ≤ 3). The DuckDB oracle
+        recomputes the full signature independently (md5_number_lower token
+        hash + 64-way weighted bit vote) and does an exact all-pairs
+        hamming join — matching it also proves the Spark side's 4x16-bit
+        band blocking is lossless."""
         ensure_package_on_executors(spark)
         from ocr_system_spark.operators.dedup import (
             simhash_pairs, with_near_dup_copies)
@@ -884,6 +887,51 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.id < b.id)
         WHERE inter >= 1 AND 100 * inter >= 70 * uni
     """
+    # SimHash oracle: recompute the WHOLE signature in SQL. The token hash
+    # is DuckDB's own md5_number_lower (the Spark kernel mirrors its exact
+    # byte semantics), the per-bit weighted vote is a 64-way grouped sum,
+    # and the pair check is an exact all-pairs hamming join (the Spark side
+    # proves its 4x16-bit banding is lossless by matching it).
+    o["dedup_simhash"] = """
+        WITH u AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+                   array_to_string(
+                     regexp_split_to_array(trim(text), '\\s+')[2:len(regexp_split_to_array(trim(text), '\\s+'))],
+                     ' ')
+            FROM documents),
+        tok AS (
+            SELECT id, unnest(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+')) AS tok
+            FROM u),
+        th AS (
+            SELECT id, md5_number_lower(tok) AS h, count(*) AS cnt
+            FROM tok GROUP BY id, md5_number_lower(tok)),
+        bits AS (
+            SELECT th.id, r.j,
+                   CASE WHEN sum(cnt * (2 * CAST((h >> CAST(r.j AS INTEGER)) & 1 AS BIGINT) - 1)) >= 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM th, range(64) r(j)
+            GROUP BY th.id, r.j),
+        sig0 AS (
+            -- CAST the sum back to BIGINT: DuckDB sums BIGINT into HUGEINT,
+            -- and a 128-bit two's-complement xor/bit_count would add 64
+            -- sign-extension bits whenever the two signatures differ in sign
+            SELECT id,
+                   CAST(sum(CASE WHEN j = 63
+                            THEN bit * CAST('-9223372036854775808' AS BIGINT)
+                            ELSE bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                       END) AS BIGINT) AS simhash
+            FROM bits GROUP BY id),
+        sig AS (
+            SELECT u.id, COALESCE(s.simhash, 0) AS simhash
+            FROM u LEFT JOIN sig0 s ON u.id = s.id)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
     o["embedding_topk"] = """
         SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -27,6 +27,7 @@ dedup signal and only create quadratic blowup).
 from __future__ import annotations
 
 import random
+import re
 from typing import Iterator, Optional
 
 import numpy as np
@@ -273,27 +274,38 @@ def minhash_lsh_pairs(
 
 SIMHASH_BITS = 64
 
+# Tokens are ASCII-whitespace-separated runs — pinned to the alphabet RE2
+# and Python `re` agree on, so the DuckDB oracle's regexp_extract_all sees
+# the identical token stream.
+_SIMHASH_TOKEN_RE = re.compile(r"[^\t\n\f\r ]+")
+
+
+def simhash_token_hash(tok: str) -> int:
+    """64-bit token hash = DuckDB's md5_number_lower: little-endian uint64
+    of md5-digest bytes [8:16]. Chosen so an independent SQL engine can
+    recompute the full SimHash signature from scratch (oracle parity)."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[8:16], "little")
+
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash per text: sign of the per-bit sum of ±1 votes from
-    each distinct token's 64-bit blake2b hash, weighted by token frequency.
+    each distinct token's 64-bit hash, weighted by token frequency.
     Token→hash memoized per batch (web corpora repeat tokens heavily);
     per-doc bit voting is one numpy matmul over the token-hash bit matrix."""
-    import hashlib
-
     cache: dict = {}
 
     def tok_hash(tok: str) -> int:
         h = cache.get(tok)
         if h is None:
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = simhash_token_hash(tok)
             cache[tok] = h
         return h
 
     out = np.zeros(len(texts), dtype=np.int64)
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     for i, t in enumerate(texts.tolist()):
-        toks = (t or "").split()
+        toks = _SIMHASH_TOKEN_RE.findall(t or "")
         if not toks:
             continue
         vals, counts = np.unique(
