@@ -397,8 +397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_topk"] = q_embedding_topk
 
     def q_embedding_lsh_topk(spark, sf_dir):
-        """SRP-LSH bucketed approximate top-5 (rows-only; recall vs brute
-        force asserted in pytest)."""
+        """SRP-LSH bucketed approximate top-5. The hyperplanes are seeded
+        constants, so the DuckDB oracle replays the full algorithm from
+        plane literals — bucket assignment, candidate union, exact rank."""
         from ocr_system_spark.operators.similarity import lsh_topk
         e = tables.load(spark, sf_dir, "embeddings")
         return lsh_topk(e, e.filter(F.col("vec_id") < 20), k=5)
@@ -407,7 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_embedding_ivf_topk(spark, sf_dir):
         """IVF approximate top-5 (deterministic centroid sample, nprobe=4
-        of 16 cells → ~25% scan; rows-only — recall pinned in pytest)."""
+        of 16 cells → ~25% scan). DuckDB oracle replays centroid selection,
+        cell assignment, probing, and exact ranking independently."""
         ensure_package_on_executors(spark)
         from ocr_system_spark.operators.similarity import ivf_topk
         e = tables.load(spark, sf_dir, "embeddings")
@@ -943,6 +945,99 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 20) t
         WHERE rk <= 5
     """
+    # SRP-LSH oracle: the hyperplanes are deterministic seeded constants, so
+    # embed them as SQL literals (same trick as the langid profile oracle)
+    # and replay the WHOLE algorithm — multi-table bucket assignment,
+    # union-of-tables candidate join, exact cosine rank — independently.
+    from ocr_system_spark.operators.similarity import _hyperplanes
+
+    def _plane_lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    _bkt_exprs = []
+    for _t in range(6):                      # n_tables=6, n_planes=4, dim=64
+        _planes = _hyperplanes(4, 64, 424242 + 1000 * _t)
+        _bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_lit(_p)}) > 0"
+            f" THEN {1 << _i} ELSE 0 END)"
+            for _i, _p in enumerate(_planes))
+        _bkt_exprs.append(f"({_bits} + {_t << 4})")
+    o["embedding_lsh_topk"] = f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        b AS (
+            SELECT vec_id, unnest([{", ".join(_bkt_exprs)}]) AS bkt
+            FROM e),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id != c.vec_id
+            WHERE q.vec_id < 20),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
+                                neighbor_id) AS rk
+            FROM cand
+            JOIN e qe ON qe.vec_id = query_id
+            JOIN e ne ON ne.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank
+        FROM scored WHERE rk <= 5
+    """
+
+    # IVF oracle: centroids are a deterministic stride sample by id, cell
+    # assignment/probing is argmax cosine with ascending-cell tie-break
+    # (numpy argmax/argsort-stable semantics), candidates are the probed
+    # cells' members, ranked exactly.
+    o["embedding_ivf_topk"] = """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        tot AS (SELECT count(*) AS n FROM e),
+        cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+            FROM e, tot
+            WHERE vec_id % greatest(n // 16, 1) = 0
+            ORDER BY vec_id LIMIT 16),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell) AS rk
+                FROM e CROSS JOIN cent c) t
+            WHERE rk = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell) AS rk
+                FROM e CROSS JOIN cent c
+                WHERE e.vec_id < 20) t
+            WHERE rk <= 4),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a USING (cell)
+            WHERE a.vec_id != p.query_id),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
+                                neighbor_id) AS rk
+            FROM cand
+            JOIN e qe ON qe.vec_id = query_id
+            JOIN e ne ON ne.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank
+        FROM scored WHERE rk <= 5
+    """
+
     o["embedding_dup_pairs"] = """
         WITH u AS (
             SELECT vec_id, embedding FROM embeddings
