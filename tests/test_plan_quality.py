@@ -69,6 +69,32 @@ def test_semi_anti_join_strategies(spark):
         assert "CartesianProduct" not in p
 
 
+def test_embedding_dup_pairs_is_bucket_join_not_nested_loop(spark):
+    """The round-1 all-pairs form compiled to a BroadcastNestedLoopJoin —
+    a 10^24-pair catastrophe at corpus scale. The SRP-bucketed form must
+    stay an equality hash/sort-merge join."""
+    df = entry.queries()["embedding_dup_pairs"](spark, SF)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_cosine_dup_pairs_bucketed_matches_exact(spark):
+    """Recall shadow: at test scale the LSH-bucketed pairs equal the exact
+    all-pairs answer (planted scaled copies sit at cosine ≈ 1, where the
+    analytical miss probability is ~1e-21)."""
+    from ocr_system_spark.operators.similarity import (
+        cosine_dup_pairs, cosine_dup_pairs_exact)
+    e = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    scaled = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"))
+    u = e.union(scaled)
+    got = {(r.id_a, r.id_b) for r in cosine_dup_pairs(u).collect()}
+    exp = {(r.id_a, r.id_b) for r in cosine_dup_pairs_exact(u).collect()}
+    assert got == exp and exp
+
+
 def test_column_pruning_on_projection(spark):
     li = load(spark, SF, "lineitem")
     df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
