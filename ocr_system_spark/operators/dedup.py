@@ -170,12 +170,24 @@ def _minhash_params(k: int, seed: int = 1234567):
     return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31)) for _ in range(k)]
 
 
+def with_shingle_hashes(df: DataFrame, shingle_col: str = "shingles",
+                        out_col: str = "sh_hashes") -> DataFrame:
+    """64-bit xxhash64 per shingle (JVM-side, hashed ONCE). Downstream —
+    MinHash permutations AND exact-verification set intersections — works
+    on these 8-byte longs instead of the raw shingle strings, which cuts
+    shuffle bytes by the average shingle length (~4×)."""
+    return df.withColumn(
+        out_col, F.transform(F.col(shingle_col), lambda s: F.xxhash64(s)))
+
+
 def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
-                 out_col: str = "minhash", seed: int = 1234567) -> DataFrame:
+                 out_col: str = "minhash", seed: int = 1234567,
+                 hash_col: Optional[str] = None) -> DataFrame:
     """k-permutation MinHash signature:
     sig_i = min over shingles of pmod(a_i·(xxhash64(s) mod 2^31−1) + b_i, 2^31−1).
 
-    Hybrid execution: shingles are hashed ONCE on the JVM (xxhash64), then
+    Hybrid execution: shingles are hashed ONCE on the JVM (xxhash64 — pass
+    ``hash_col`` to reuse a precomputed with_shingle_hashes column), then
     the k affine permutations + min-reduce run as one numpy matrix op per
     row inside a pandas UDF. Spark's higher-order-function lambdas are
     interpreted per element — k=64 separate `transform` passes measured
@@ -184,9 +196,10 @@ def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
     a_vec = np.array([a for a, _ in params], dtype=np.int64)[None, :]
     b_vec = np.array([b for _, b in params], dtype=np.int64)[None, :]
 
-    hashes = F.transform(
-        F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))
-    )
+    if hash_col is not None:
+        hashes = F.col(hash_col)
+    else:
+        hashes = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(harr: pd.Series) -> pd.Series:
@@ -196,12 +209,52 @@ def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
             if h is None or len(h) == 0:
                 out.append(empty)
                 continue
-            hv = np.asarray(h, dtype=np.int64)[:, None]        # (n, 1)
-            sig = ((hv * a_vec + b_vec) % MERSENNE31).min(axis=0)  # (k,)
+            # fold the 64-bit hash into the 31-bit permutation universe
+            # here (numpy % matches Spark pmod: non-negative result)
+            hv = (np.asarray(h, dtype=np.int64) % MERSENNE31)[:, None]  # (n, 1)
+            sig = ((hv * a_vec + b_vec) % MERSENNE31).min(axis=0)       # (k,)
             out.append(sig.tolist())
         return pd.Series(out, index=harr.index, dtype=object)
 
     return df.withColumn(out_col, sig_udf(hashes))
+
+
+def _salted_band_candidates(exploded: DataFrame, salt_cap: int) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs sharing a (band, bhash)
+    bucket, with triangle salting of oversized buckets.
+
+    A bucket of G rows yields G²/2 pairs in ONE task under a plain
+    self-join — a viral near-dup cluster at crawl scale quadratically blows
+    a single task. Buckets above ``salt_cap`` are hash-split into
+    m=⌈G/cap⌉ chunks; a row in chunk c serves as the LEFT of chunk-pairs
+    (c, j≥c) and the RIGHT of chunk-pairs (i≤c, c), and the join key
+    (band, bhash, pi, pj) spreads the same pair set over m(m+1)/2 bounded
+    tasks. No pair is lost: every (x, y) in the bucket meets in exactly the
+    chunk-pair (min(cx,cy), max(cx,cy))."""
+    big = (exploded.groupBy("band", "bhash")
+           .agg(F.count(F.lit(1)).alias("gsz"))
+           .filter(F.col("gsz") > salt_cap))
+    ex = (
+        exploded.join(F.broadcast(big), ["band", "bhash"], "left")
+        .withColumn("m", F.coalesce(
+            F.ceil(F.col("gsz") / salt_cap), F.lit(1)).cast("int"))
+        .withColumn("chunk", F.pmod(F.xxhash64("id"), F.col("m")).cast("int"))
+    )
+    a = ex.select(
+        F.col("id").alias("aid"), "band", "bhash",
+        F.col("chunk").alias("pi"),
+        F.explode(F.sequence(F.col("chunk"), F.col("m") - 1)).alias("pj"))
+    b = ex.select(
+        F.col("id").alias("bid"), "band", "bhash",
+        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("pi"),
+        F.col("chunk").alias("pj"))
+    return (
+        a.join(b, ["band", "bhash", "pi", "pj"])
+        .filter((F.col("pi") < F.col("pj")) | (F.col("aid") < F.col("bid")))
+        .select(F.least("aid", "bid").alias("id_a"),
+                F.greatest("aid", "bid").alias("id_b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -213,6 +266,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     min_jaccard_pct: int = 70,
     seed: int = 1234567,
+    salt_cap: int = 1000,
+    eager_cleanup: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact verification.
 
@@ -222,15 +277,33 @@ def minhash_lsh_pairs(
     With k=64, bands=16 (rows=4) the probability a true 0.7-Jaccard pair
     misses every band is (1−0.7⁴)¹⁶ ≈ 1.2%, and for the ≥0.9 near-dups this
     operator targets it is < 1e-8.
+
+    Verification runs over the per-doc xxhash64(shingle) arrays (8 bytes
+    each), never the raw shingle strings — integer set intersections give
+    the same (inter, uni) w.h.p. (64-bit collisions ~n²/2^64) and shuffle
+    ~4× fewer bytes through the three joins.
+
+    ``salt_cap`` triangle-salts oversized band buckets: a viral cluster of
+    G near-identical docs puts all G rows in ONE (band, bhash) bucket and
+    its G²/2 pairs in ONE task. Buckets larger than the cap are split into
+    m=⌈G/cap⌉ hash chunks and the join runs per chunk-pair (i ≤ j), so the
+    same pairs emerge from m(m+1)/2 bounded tasks — no pair is lost.
+
+    ``eager_cleanup=True`` materializes the (small) result and unpersists
+    the two intermediate caches before returning — for long-lived jobs
+    where cache pressure matters more than laziness.
     """
     rows = k // bands
-    # cache the shingle sets: they are read three times (both sides of the
-    # band self-join + the verification joins) and recomputing the shingle
-    # transform is the dominant cost
-    sh = with_shingles(df, text_col, n).select(
-        F.col(key_col).alias("id"), "shingles"
-    ).filter(F.size("shingles") > 0).cache()
-    mh = with_minhash(sh, "shingles", k, seed=seed)
+    # cache the hashed shingle sets: read three times (both sides of the
+    # band self-join + the verification joins) and the shingle kernel is
+    # the dominant cost. Cached payload is longs, not strings.
+    sh = (
+        with_shingle_hashes(with_shingles(df, text_col, n))
+        .select(F.col(key_col).alias("id"), "sh_hashes")
+        .filter(F.size("sh_hashes") > 0)
+        .cache()
+    )
+    mh = with_minhash(sh, k=k, seed=seed, hash_col="sh_hashes")
 
     band_structs = F.array(*[
         F.struct(
@@ -246,18 +319,11 @@ def minhash_lsh_pairs(
         mh.select("id", F.explode(band_structs).alias("b"))
         .select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
     ).cache()
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bhash") == F.col("b.bhash"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    # exact verification of candidates
-    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+
+    cand = _salted_band_candidates(exploded, salt_cap)
+    # exact verification of candidates over the hash arrays
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh_hashes").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh_hashes").alias("sh_b"))
     verified = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -265,6 +331,10 @@ def minhash_lsh_pairs(
         .filter(F.col("inter") * 100 >= F.col("uni") * min_jaccard_pct)
         .select("id_a", "id_b", "inter", "uni")
     )
+    if eager_cleanup:
+        verified = verified.localCheckpoint(eager=True)
+        sh.unpersist()
+        exploded.unpersist()
     return verified
 
 

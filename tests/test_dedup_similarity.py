@@ -170,3 +170,50 @@ def test_partial_topk_keeps_boundary_ties(spark):
     out = similarity._partial_topk_frame(ids, q_ids, scores, k=3)
     # top-3 by score, but the 4-way tie at the boundary is fully kept
     assert set(out["neighbor_id"]) == {100, 101, 102, 103, 104}
+
+
+def test_triangle_salting_loses_no_pairs(spark):
+    """A planted hot bucket (one viral cluster, every doc in the same band
+    bucket) must yield exactly C(G,2) pairs even when split into chunks."""
+    from itertools import combinations
+    g = 40
+    rows = [(i, 0, 12345) for i in range(g)]
+    exploded = spark.createDataFrame(rows, "id long, band int, bhash long")
+    got = {(r.id_a, r.id_b)
+           for r in dedup._salted_band_candidates(exploded, salt_cap=7).collect()}
+    exp = set(combinations(range(g), 2))
+    assert got == exp
+
+    # and the per-task group is bounded: no (pi, pj) chunk-pair sees more
+    # than ~2*cap rows per side (chunk size ≈ G/m ≤ cap + hash skew)
+    big = exploded.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("gsz")) \
+        .filter(F.col("gsz") > 7)
+    ex = (exploded.join(F.broadcast(big), ["band", "bhash"], "left")
+          .withColumn("m", F.coalesce(F.ceil(F.col("gsz") / 7), F.lit(1)).cast("int"))
+          .withColumn("chunk", F.pmod(F.xxhash64("id"), F.col("m")).cast("int")))
+    sizes = ex.groupBy("chunk").count().toPandas()["count"]
+    assert sizes.max() <= 2 * 7, sizes.tolist()
+
+
+def test_minhash_lsh_salted_matches_unsalted(spark, docs):
+    """Forcing the salt on real data (tiny cap) must not change the output."""
+    both = dedup.with_near_dup_copies(docs, "doc_id")
+    base = {(r.id_a, r.id_b, r.inter, r.uni)
+            for r in dedup.minhash_lsh_pairs(both, "doc_id",
+                                             min_jaccard_pct=70).collect()}
+    salted = {(r.id_a, r.id_b, r.inter, r.uni)
+              for r in dedup.minhash_lsh_pairs(both, "doc_id",
+                                               min_jaccard_pct=70,
+                                               salt_cap=2).collect()}
+    assert base == salted and base
+
+
+def test_minhash_eager_cleanup_unpersists(spark, docs):
+    both = dedup.with_near_dup_copies(docs, "doc_id")
+    before = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    out = dedup.minhash_lsh_pairs(both, "doc_id", min_jaccard_pct=70,
+                                  eager_cleanup=True)
+    n = out.count()
+    after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    assert n > 0
+    assert after <= before + 1  # the checkpoint itself may linger; caches don't
