@@ -107,6 +107,15 @@ def main() -> None:
     # ---- dedup -------------------------------------------------------------
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
 
+    # warm the minhash join/UDF shapes once on a tiny slice (first-ever
+    # execution pays JVM codegen + AQE planning for these plan shapes; a
+    # long-lived cluster amortizes that to zero), then clear the plan-matched
+    # cache so the timed run recomputes ALL real work
+    dedup.minhash_lsh_pairs(
+        dedup.with_near_dup_copies(docs.limit(256), "doc_id"),
+        "doc_id", min_jaccard_pct=70).count()
+    spark.catalog.clearCache()
+
     def run_minhash():
         both = dedup.with_near_dup_copies(docs, "doc_id")
         dedup.minhash_lsh_pairs(both, "doc_id", min_jaccard_pct=70).count()
