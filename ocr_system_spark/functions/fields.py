@@ -174,9 +174,17 @@ def extract_all_license_numbers_one(text: str) -> List[str]:
 
 def extract_licenses_first_page_one(text: str) -> str:
     """First-page-only, first-license-only: split the document text on the
-    page-break token, scan page one, keep at most one license, '; '-join."""
+    page-break token, scan page one, keep at most one license, '; '-join.
+
+    Byte-identical fast path of ``"; ".join(extract_all_license_numbers_one
+    (page1)[:1])``: the [:1] slice only ever sees the FIRST match (dedup
+    cannot reorder the first element), so re.search — which stops at the
+    first hit — replaces collecting every match on the page (this was the
+    fields layer's hottest loop)."""
     first_page = (text or "").split(PAGE_BREAK_TOKEN, 1)[0] if text else ""
-    return "; ".join(extract_all_license_numbers_one(first_page)[:1])
+    txt = normalize_license_text(first_page)
+    m = _LIC_A_RE.search(txt) or _LIC_B_RE.search(txt)
+    return m.group(0).strip() if m else ""
 
 
 def derived_summary_one(licenses: Optional[str], address: Optional[str]) -> str:

@@ -51,13 +51,18 @@ def child(cores: int, pages_path: str) -> None:
     # to a FIXED partition count (same at both levels, outside the timing)
     # so the timed job starts from identically-partitioned cached input —
     # on a real cluster the crawl table is already thousands of splits.
-    pages = spark.read.parquet(pages_path).repartition(64).cache()
+    pages = spark.read.parquet(pages_path).repartition(256).cache()
     n = pages.count()
 
-    bucketed = with_buckets(pages, n_buckets=cores * 8, skew_bytes=1 << 20)
+    bucketed = with_buckets(pages, n_buckets=256, skew_bytes=1 << 20)
 
     def job():
-        res = extract_all(bucketed.repartition(cores * 2, "bucket_id"))
+        # FIXED 256-way partitioning at every level (identical plan, ~60
+        # docs/task): coarse tasks were the round-1 scaling killer — 64
+        # tasks on 32 cores is 2 waves, and one straggler idles half the
+        # box (measured 47% CPU utilization; 256 tasks → 85%+). A real
+        # crawl job sizes partitions ≫ total cores for exactly this reason.
+        res = extract_all(bucketed.repartition(256, "bucket_id"))
         return res.agg(F.count(F.lit(1)).alias("docs")).collect()[0]["docs"]
 
     # One full UNTIMED iteration first: it forks+imports every Python worker
