@@ -61,11 +61,18 @@ def get_spark(
     # cluster that is `spark-submit --py-files ocr_system_spark.zip`; in
     # local mode the worker processes inherit the driver environment, so
     # prepending the repo root to PYTHONPATH is the equivalent.
+    # _workerenv holds a sitecustomize.py that neutralizes the per-task
+    # zipimporter cache invalidation (see its docstring) — worth ~150 ms of
+    # fixed CPU on EVERY Python task. It must be on the worker interpreter's
+    # PYTHONPATH at startup; on a real cluster pass the same directory via
+    # --conf spark.executorEnv.PYTHONPATH.
+    _workerenv = os.path.join(_REPO_ROOT, "ocr_system_spark", "_workerenv")
     pypath = os.environ.get("PYTHONPATH", "")
-    if _REPO_ROOT not in pypath.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            _REPO_ROOT + (os.pathsep + pypath if pypath else "")
-        )
+    parts = pypath.split(os.pathsep) if pypath else []
+    for p in (_workerenv, _REPO_ROOT):
+        if p not in parts:
+            parts.insert(0, p)
+    os.environ["PYTHONPATH"] = os.pathsep.join(parts)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
