@@ -678,6 +678,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["model_extract"] = q_model_extract
 
+    def q_repetition_stats(spark, sf_dir):
+        """Gopher-style duplicate word-bigram counts (integer totals)."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.textstats import with_repetition_stats
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return with_repetition_stats(d).select(
+            "doc_id", "total_bigrams", "distinct_bigrams")
+
+    q["repetition_stats"] = q_repetition_stats
+
+    def q_gopher_quality(spark, sf_dir):
+        """MassiveText/Gopher document-quality gates (integer-stable)."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.textstats import with_gopher_quality
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return with_gopher_quality(d, min_words=30).select(
+            "doc_id", "n_words", "n_word_chars", "n_stop_hits", "gopher_pass")
+
+    q["gopher_quality"] = q_gopher_quality
+
+    def q_dedup_components(spark, sf_dir):
+        """Connected components over the exact-Jaccard near-dup pair graph —
+        the cluster-then-keep-one step of a production dedup pipeline.
+        Every doc (incl. singletons) gets comp = min doc id reachable."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.components import connected_components
+        from ocr_system_spark.operators.dedup import (
+            ngram_jaccard_pairs, with_near_dup_copies)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        both = with_near_dup_copies(d, "doc_id")
+        edges = ngram_jaccard_pairs(both, "doc_id", block_col="lang",
+                                    min_jaccard_pct=50)
+        nodes = both.select(F.col("doc_id").alias("id"))
+        return connected_components(edges, nodes=nodes).select("id", "comp")
+
+    q["dedup_components"] = q_dedup_components
+
     def q_timestamp_window(spark, sf_dir):
         e = tables.load(spark, sf_dir, "events")
         return (
@@ -1265,6 +1302,61 @@ def oracle_sql() -> dict[str, str]:
                lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/05/2024' AS date,
                'REF-AB' || CAST(doc_id*13 % 9000 + 1000 AS VARCHAR) AS reference_id
         FROM documents
+    """
+
+    o["repetition_stats"] = r"""
+        SELECT doc_id,
+               CAST(greatest(len(w) - 1, 0) AS BIGINT) AS total_bigrams,
+               CAST(CASE WHEN len(w) < 2 THEN 0
+                    ELSE len(list_distinct(list_transform(
+                         range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+                    END AS BIGINT) AS distinct_bigrams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents)
+    """
+
+    _stops = ", ".join(f"'{s}'" for s in
+                       ("the", "be", "to", "of", "and", "that", "have", "with"))
+    o["gopher_quality"] = rf"""
+        SELECT doc_id, n_words, n_word_chars, n_stop_hits,
+               (n_words >= 30 AND n_words <= 100000
+                AND n_word_chars >= 3 * n_words
+                AND n_word_chars <= 10 * n_words
+                AND n_stop_hits >= 2) AS gopher_pass
+        FROM (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                        AS BIGINT) AS n_word_chars,
+                   CAST(len(list_filter(w, x -> list_contains([{_stops}],
+                        lower(x)))) AS BIGINT) AS n_stop_hits
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> x != '') AS w
+                  FROM documents))
+    """
+
+    # connected components: min reachable id via a recursive CTE over the
+    # same Jaccard pair graph the Spark query builds (near-dup components
+    # are tiny, so the transitive walk cannot explode at oracle scale)
+    o["dedup_components"] = f"""
+        WITH RECURSIVE {_SHINGLE_BASE},
+        pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+                FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id)
+            WHERE inter >= 1 AND 100 * inter >= 50 * uni),
+        sym AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT id FROM base),
+        walk(id, reach) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT w.id, s.v FROM walk w JOIN sym s ON s.u = w.reach)
+        SELECT id, min(reach) AS comp FROM walk GROUP BY id
     """
 
     o["timestamp_window"] = """

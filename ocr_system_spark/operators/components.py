@@ -1,0 +1,75 @@
+"""Connected components over the near-duplicate pair graph — the step that
+turns pairwise dedup output into KEEP/DROP decisions (each component keeps
+one representative; production web-dedup pipelines run exactly this after
+MinHash/SimHash pair generation).
+
+Algorithm: iterative min-label propagation — each node's label becomes the
+minimum label among itself and its neighbors, repeated to fixpoint. Rounds
+needed = graph diameter. Near-dup components are near-cliques (every member
+pairs with most others), so the diameter is tiny (2-3) and propagation
+converges in a handful of shuffles; each round is one join + one groupBy on
+the edge list, both partitioned by node id. For general graphs with long
+chains at 10^12-edge scale, swap the loop body for the alternating
+large-star/small-star rounds (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) — same join shape, provably O(log n)
+rounds; the fixpoint loop and convergence accounting here carry over
+unchanged.
+
+Every round materializes via localCheckpoint: it truncates the growing
+lineage (a 10-round loop would otherwise re-execute round 1 ten times) and
+gives the convergence check a concrete relation to count against.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: Optional[DataFrame] = None,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, comp) for every node, comp = min node id in its component.
+
+    ``edges`` is an undirected pair list (each pair once, either order).
+    ``nodes`` optionally supplies the full node universe — nodes with no
+    edges come back as their own singleton component (what a dedup pipeline
+    needs: every document gets a cluster id).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    node_ids = sym.select(F.col("u").alias(id_col)).distinct()
+    if nodes is not None:
+        node_ids = nodes.select(F.col(id_col)).distinct()
+
+    labels = node_ids.withColumn("comp", F.col(id_col)).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.v == labels[id_col])
+            .groupBy("u").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels[id_col] == nbr_min.u, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp")))
+                .alias("comp"),
+                F.col("comp").alias("_old"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("comp") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels

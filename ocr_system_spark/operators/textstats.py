@@ -49,6 +49,70 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("t", udf(F.col(text_col))).select("*", "t.*").drop("t")
 
 
+REPETITION_SCHEMA = T.StructType([
+    T.StructField("total_bigrams", T.LongType(), False),
+    T.StructField("distinct_bigrams", T.LongType(), False),
+])
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style repetition signal: duplicate word-bigram
+    mass per document. Emitted as INTEGER (total, distinct) counts — the
+    duplicate fraction (total-distinct)/total is derived downstream, so the
+    cross-engine comparison stays exact."""
+    @F.pandas_udf(REPETITION_SCHEMA)
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        tot, dis = [], []
+        for t in texts.tolist():
+            w = (t or "").split()
+            n = max(len(w) - 1, 0)
+            tot.append(n)
+            dis.append(len({(w[i], w[i + 1]) for i in range(n)}) if n else 0)
+        return pd.DataFrame({"total_bigrams": tot, "distinct_bigrams": dis},
+                            index=texts.index)
+
+    return df.withColumn("r", udf(F.col(text_col))).select("*", "r.*").drop("r")
+
+
+# the published MassiveText "must contain ≥2 of" stop list (Gopher paper,
+# rule 7) — a quality heuristic, not a language model
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_SCHEMA = T.StructType([
+    T.StructField("n_words", T.LongType(), False),
+    T.StructField("n_word_chars", T.LongType(), False),
+    T.StructField("n_stop_hits", T.LongType(), False),
+])
+
+
+def with_gopher_quality(df: DataFrame, text_col: str = "text",
+                        min_words: int = 50, max_words: int = 100_000
+                        ) -> DataFrame:
+    """Gopher/MassiveText document-quality gates, integer-stable:
+    word-count bounds, mean-word-length bounds (3 ≤ mean ≤ 10, compared as
+    3·n ≤ chars ≤ 10·n — no floats), and the ≥2-stopword rule. Emits the
+    raw counts plus the combined ``gopher_pass`` verdict."""
+    @F.pandas_udf(GOPHER_SCHEMA)
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        nw, nc, ns = [], [], []
+        for t in texts.tolist():
+            w = (t or "").split()
+            nw.append(len(w))
+            nc.append(sum(len(x) for x in w))
+            ns.append(sum(1 for x in w if x.lower() in GOPHER_STOPS))
+        return pd.DataFrame({"n_words": nw, "n_word_chars": nc,
+                             "n_stop_hits": ns}, index=texts.index)
+
+    out = df.withColumn("g", udf(F.col(text_col))).select("*", "g.*").drop("g")
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("n_word_chars") >= 3 * F.col("n_words"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        & (F.col("n_stop_hits") >= 2),
+    )
+
+
 FP_STRUCT = T.ArrayType(T.StructType([
     T.StructField("pos", T.LongType(), False),
     T.StructField("fp", T.LongType(), False),

@@ -1,0 +1,83 @@
+"""Connected components (dedup clustering) + Gopher-style quality gates."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from ocr_system_spark.operators.components import connected_components
+from ocr_system_spark.operators.textstats import (
+    with_gopher_quality, with_repetition_stats)
+
+
+def _union_find_truth(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member id
+    comp_min: dict = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp_min.setdefault(r, x)   # nodes ascend, first seen is min
+    return {x: comp_min[find(x)] for x in range(n_nodes)}
+
+
+def test_components_match_union_find_on_random_graph(spark):
+    rng = random.Random(7)
+    n = 200
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(150)})
+    truth = _union_find_truth(n, edges)
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(n).withColumnRenamed("id", "id")
+    got = {r.id: r.comp for r in connected_components(e, nodes=nodes).collect()}
+    assert got == truth
+
+
+def test_components_long_chain_converges(spark):
+    """A 40-node path graph has diameter 39 — min-label propagation halves
+    the frontier distance per round only along edges, so this exercises the
+    multi-round fixpoint loop (and the max_iter guard must not bite)."""
+    edges = [(i, i + 1) for i in range(39)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.comp for r in connected_components(e, max_iter=50).collect()}
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_components_singletons_and_isolated(spark):
+    e = spark.createDataFrame([(10, 11)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(5,), (10,), (11,), (99,)], "id long")
+    got = {r.id: r.comp for r in connected_components(e, nodes=nodes).collect()}
+    assert got == {5: 5, 10: 10, 11: 10, 99: 99}
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x"), (3, ""), (4, "w w w w")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.total_bigrams, r.distinct_bigrams)
+           for r in with_repetition_stats(df).collect()}
+    # "a b a b c": bigrams ab,ba,ab,bc -> 4 total, 3 distinct
+    assert got == {1: (4, 3), 2: (0, 0), 3: (0, 0), 4: (3, 1)}
+
+
+def test_gopher_gates(spark):
+    good = "the quick brown fox and that dog have fun with words " * 5  # 55 words
+    short = "the and of"
+    no_stops = "alpha beta gamma delta " * 15
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, no_stops)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_stop_hits, r.gopher_pass)
+           for r in with_gopher_quality(df, min_words=50).collect()}
+    assert got[1][2] is True and got[1][1] >= 2
+    assert got[2] == (3, 3, False)          # too short
+    assert got[3][2] is False               # no stopwords
