@@ -100,3 +100,38 @@ def start_metrics_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_stream(
+    pages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming exact dedup: first arrival of each content hash wins,
+    across micro-batches, with BOUNDED state — the streaming counterpart of
+    operators/dedup.exact_dedup.
+
+    ``dropDuplicatesWithinWatermark`` keeps a hash in the state store only
+    until the event-time watermark passes it, so a crawl stream can run
+    forever: a duplicate arriving within the watermark of its original is
+    dropped; one arriving later than the watermark is treated as new (the
+    documented, bounded-memory trade every streaming dedup makes — global
+    exactness belongs to the batch tier's exact_dedup over the landed
+    table)."""
+    deduped = (
+        pages_stream
+        .withColumn("text_hash", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -88,3 +88,36 @@ def test_stream_metrics_windows(spark, stream_dirs):
     q2.awaitTermination(180)
     m2 = spark.read.parquet(stream_dirs["mout"]).toPandas()
     assert m2["docs"].sum() == 200  # batch-1 windows now fully emitted
+
+
+def test_stream_exact_dedup_across_batches(spark, stream_dirs):
+    """Duplicates must be dropped ACROSS micro-batches (state store), not
+    just within one; first arrival wins; distinct texts all survive."""
+    b1 = generate_pages(60, seed=25)
+    _write_batch(b1, os.path.join(stream_dirs["in"], "d1.parquet"))
+    q = ingest.start_dedup_stream(
+        ingest.read_page_stream(spark, stream_dirs["in"]),
+        stream_dirs["out"], stream_dirs["ckpt"], watermark="30 days")
+    q.awaitTermination(180)
+    out1 = spark.read.parquet(stream_dirs["out"]).toPandas()
+    n_distinct_b1 = b1["text"].fillna("").nunique()
+    assert len(out1) == n_distinct_b1
+
+    # batch 2: half exact duplicates of batch-1 texts (same event times →
+    # inside the watermark → must be dropped), half genuinely new
+    b2 = generate_pages(40, seed=26)
+    b2.loc[:19, "text"] = b1["text"].iloc[:20].values
+    # aligned-index assignment keeps the (tz-aware) datetime dtype intact
+    b2.loc[:19, "warc_ts"] = b1["warc_ts"].iloc[:20].set_axis(range(20))
+    b2["url"] = b2["url"] + "#d2"
+    _write_batch(b2, os.path.join(stream_dirs["in"], "d2.parquet"))
+    q2 = ingest.start_dedup_stream(
+        ingest.read_page_stream(spark, stream_dirs["in"]),
+        stream_dirs["out"], stream_dirs["ckpt"], watermark="30 days")
+    q2.awaitTermination(180)
+    out2 = spark.read.parquet(stream_dirs["out"]).toPandas()
+    assert len(out2) == n_distinct_b1 + len(
+        set(b2["text"].fillna("").iloc[20:]) - set(b1["text"].fillna("")))
+    # every batch-1 duplicate was suppressed by the cross-batch state store
+    dup_urls = set(b2["url"].iloc[:20])
+    assert not any(u in dup_urls for u in out2["url"])
