@@ -715,6 +715,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_components"] = q_dedup_components
 
+    def q_curation_pipeline(spark, sf_dir):
+        """End-to-end training-data curation — the composition a real
+        pipeline runs: Gopher quality gate ∧ near-dup clustering with
+        keep-one-per-component (min doc id wins). Output: every KEPT doc
+        with its stats. Each stage is individually oracle-verified
+        elsewhere; this query verifies their composition."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.components import connected_components
+        from ocr_system_spark.operators.dedup import (
+            ngram_jaccard_pairs, with_near_dup_copies)
+        from ocr_system_spark.operators.textstats import with_gopher_quality
+
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        both = with_near_dup_copies(d, "doc_id")
+        edges = ngram_jaccard_pairs(both, "doc_id", block_col="lang",
+                                    min_jaccard_pct=50)
+        comps = connected_components(
+            edges, nodes=both.select(F.col("doc_id").alias("id")))
+        quality = with_gopher_quality(both.select("doc_id", "text"), min_words=30)
+        kept = (
+            quality.join(comps, quality.doc_id == comps.id)
+            .filter(F.col("gopher_pass") & (F.col("doc_id") == F.col("comp")))
+            .select("doc_id", "n_words", "n_stop_hits")
+        )
+        return kept
+
+    q["curation_pipeline"] = q_curation_pipeline
+
     def q_timestamp_window(spark, sf_dir):
         e = tables.load(spark, sf_dir, "events")
         return (
@@ -1357,6 +1385,46 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT w.id, s.v FROM walk w JOIN sym s ON s.u = w.reach)
         SELECT id, min(reach) AS comp FROM walk GROUP BY id
+    """
+
+    o["curation_pipeline"] = f"""
+        WITH RECURSIVE {_SHINGLE_BASE},
+        pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+                FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id)
+            WHERE inter >= 1 AND 100 * inter >= 50 * uni),
+        sym AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT id FROM base),
+        walk(id, reach) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT w.id, s.v FROM walk w JOIN sym s ON s.u = w.reach),
+        comp AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id),
+        g AS (
+            SELECT id AS doc_id, n_words, n_word_chars, n_stop_hits,
+                   (n_words >= 30 AND n_words <= 100000
+                    AND n_word_chars >= 3 * n_words
+                    AND n_word_chars <= 10 * n_words
+                    AND n_stop_hits >= 2) AS gopher_pass
+            FROM (
+                SELECT id,
+                       CAST(len(w) AS BIGINT) AS n_words,
+                       CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                            AS BIGINT) AS n_word_chars,
+                       CAST(len(list_filter(w, x -> list_contains([{_stops}],
+                            lower(x)))) AS BIGINT) AS n_stop_hits
+                FROM (SELECT id,
+                             list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                                         x -> x != '') AS w
+                      FROM base)))
+        SELECT g.doc_id, g.n_words, g.n_stop_hits
+        FROM g JOIN comp ON g.doc_id = comp.id
+        WHERE g.gopher_pass AND g.doc_id = comp.comp
     """
 
     o["timestamp_window"] = """

@@ -95,6 +95,15 @@ def test_cosine_dup_pairs_bucketed_matches_exact(spark):
     assert got == exp and exp
 
 
+def test_new_pipeline_queries_scan_pruned_no_cartesian(spark):
+    qs = entry.queries()
+    for name in ["repetition_stats", "gopher_quality"]:
+        p = plan_of(qs[name](spark, SF))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        # only (doc_id, text) reach the scan
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, (name, p)
+
+
 def test_column_pruning_on_projection(spark):
     li = load(spark, SF, "lineitem")
     df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
