@@ -21,8 +21,17 @@ because ocr_system_spark.session.get_spark puts this directory on
 ``spark.executorEnv.PYTHONPATH`` (cluster equivalent:
 ``--conf spark.executorEnv.PYTHONPATH=.../ocr_system_spark/_workerenv``).
 It runs once per worker process, before pyspark imports.
+
+Escape hatch: set OCR_SPARK_KEEP_ZIPIMPORT_INVALIDATION=1 (e.g. via
+spark.executorEnv) to leave stdlib behavior untouched. Note that ``site``
+imports only the FIRST sitecustomize on sys.path — if your deployment
+already ships one, fold this patch into it instead of shadowing it.
 """
 
-import zipimport
+import os
 
-zipimport.zipimporter.invalidate_caches = lambda self: None  # type: ignore[method-assign]
+if not os.environ.get("OCR_SPARK_KEEP_ZIPIMPORT_INVALIDATION"):
+    import zipimport
+
+    zipimport.zipimporter.invalidate_caches = (  # type: ignore[method-assign]
+        lambda self: None)
