@@ -104,6 +104,17 @@ def test_new_pipeline_queries_scan_pruned_no_cartesian(spark):
         assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, (name, p)
 
 
+def test_no_query_compiles_to_nested_loop_join(spark):
+    """Fleet-wide plan sweep: NO driver query may contain a cartesian or
+    broadcast-nested-loop join — at 10^12 rows any of those is a job that
+    never finishes. (Queries with iterative driver-side loops execute some
+    jobs while building; sf0.001 keeps that cheap.)"""
+    for name, fn in entry.queries().items():
+        p = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
 def test_column_pruning_on_projection(spark):
     li = load(spark, SF, "lineitem")
     df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
