@@ -217,3 +217,35 @@ def test_minhash_eager_cleanup_unpersists(spark, docs):
     after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
     assert n > 0
     assert after <= before + 1  # the checkpoint itself may linger; caches don't
+
+
+def test_hashed_shingles_preserve_string_shingle_semantics(spark, docs):
+    """with_shingles (string form — the readable spec) and
+    with_hashed_shingles (the production form) must agree on every
+    set-cardinality the dedup operators consume: per-doc distinct counts
+    and pairwise intersection sizes."""
+    d = docs.limit(40)
+    s = dedup.with_shingles(d, "text", 3).select("doc_id", "shingles").collect()
+    h = dedup.with_hashed_shingles(d, "text", 3).select("doc_id", "sh_hashes").collect()
+    strs = {r.doc_id: set(r.shingles) for r in s}
+    hsh = {r.doc_id: set(r.sh_hashes) for r in h}
+    assert set(strs) == set(hsh)
+    for k in strs:
+        assert len(strs[k]) == len(hsh[k]), k
+    ids = sorted(strs)
+    for a in ids[:10]:
+        for b in ids[:10]:
+            if a < b:
+                assert len(strs[a] & strs[b]) == len(hsh[a] & hsh[b]), (a, b)
+
+
+def test_with_minhash_hash_col_path_matches_inline_path(spark, docs):
+    """with_minhash's two entry forms (hash shingles inline vs reuse a
+    precomputed with_shingle_hashes column) must emit identical signatures."""
+    d = docs.limit(30)
+    sh = dedup.with_shingles(d, "text", 3)
+    a = dedup.with_minhash(sh, "shingles", k=32).select("doc_id", "minhash").collect()
+    pre = dedup.with_shingle_hashes(sh)
+    b = dedup.with_minhash(pre, k=32, hash_col="sh_hashes").select("doc_id", "minhash").collect()
+    assert {r.doc_id: tuple(r.minhash) for r in a} == \
+           {r.doc_id: tuple(r.minhash) for r in b}
