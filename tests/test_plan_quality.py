@@ -120,3 +120,34 @@ def test_column_pruning_on_projection(spark):
     df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
     p = plan_of(df)
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p, p
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key by the same bucket count
+    must join with ZERO Exchange operators — the storage-level co-location
+    that removes the two big shuffles of a repeated enrichment join."""
+    from ocr_system_spark.plans.bucketed import colocated_join, write_bucketed
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    o = load(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev_thresh = spark.conf.get(thresh_key)
+    try:
+        write_bucketed(li, "li_b", "l_orderkey", n_buckets=8)
+        write_bucketed(o, "o_b", "l_orderkey", n_buckets=8)
+        # the point is the LARGE×LARGE case — at test scale the small side
+        # would auto-broadcast, so disable that to see the co-located SMJ
+        spark.conf.set(thresh_key, "-1")
+        joined = colocated_join(spark, "li_b", "o_b", on="l_orderkey")
+        p = plan_of(joined)
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p, p
+        # and it actually computes the right thing
+        n = joined.count()
+        exp = li.join(o, "l_orderkey").count()
+        assert n == exp
+    finally:
+        spark.conf.set(thresh_key, prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
