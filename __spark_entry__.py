@@ -3,15 +3,25 @@
 ``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one DataFrame callable per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-runnable ANSI equivalent for every SQL-expressible one.
+gives the DuckDB-runnable ANSI equivalent for EVERY query — 56/56, no
+rows-only entries.
 
-Oracle strategy for the extraction kernels: queries that exercise the real
-Python-re/numpy kernels run over text that is deterministically ENRICHED
-from ``documents`` with known field snippets built from ``doc_id`` — so the
-DuckDB oracle can compute the expected extraction results INDEPENDENTLY
-(from doc_id arithmetic), not by re-running the kernel. Byte-identity with
-the reference extractor itself is covered separately by the pytest golden
-suite (tests/test_fields_golden.py).
+Oracle strategies, by kernel class:
+* extraction kernels — queries run over text deterministically ENRICHED
+  from ``documents`` with known field snippets built from ``doc_id``, so
+  DuckDB computes the expected extractions INDEPENDENTLY (from doc_id
+  arithmetic), never by re-running the kernel. Byte-identity with the
+  reference extractor itself is pinned by the pytest golden suite
+  (tests/test_fields_golden.py) and differential fuzzing.
+* hash kernels — the hash functions are chosen to be replayable in SQL:
+  simhash uses DuckDB's own md5_number_lower as its token hash; winnowing
+  uses a codepoint-polynomial Horner hash; SRP-LSH planes and IVF
+  centroids are seeded constants EMBEDDED as literals into generated SQL
+  (same trick as the langid profile oracle), so DuckDB re-runs the whole
+  algorithm from scratch.
+* iterative operators — dedup clustering is replayed with a recursive-CTE
+  transitive walk.
+Property-based kernel↔SQL parity guards live in tests/test_sql_parity.py.
 """
 
 from __future__ import annotations
