@@ -753,6 +753,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = q_curation_pipeline
 
+    def q_pii_scrub(spark, sf_dir):
+        """PII redaction over text enriched with synthetic email/IP/phone
+        built from doc_id — pure JVM regexp chain; DuckDB re-runs the same
+        RE2-safe patterns over the same construction."""
+        from ocr_system_spark.operators.scrub import with_pii_scrubbed
+        d = tables.load(spark, sf_dir, "documents")
+        i = F.col("doc_id")
+        enriched = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), i.cast("string"),
+                F.lit("@example"), (i % 7).cast("string"), F.lit(".com"),
+                F.lit(" from 10."), (i % 256).cast("string"),
+                F.lit("."), ((i * 3) % 256).cast("string"),
+                F.lit("."), (i % 200 + 1).cast("string"),
+                F.lit(" call +1 ("), (i % 900 + 100).cast("string"),
+                F.lit(") "), (i % 900 + 100).cast("string"),
+                F.lit("-"), (i % 9000 + 1000).cast("string"),
+            ).alias("text"),
+        )
+        return with_pii_scrubbed(enriched).select(
+            "doc_id", "scrubbed", "n_email", "n_ipv4", "n_phone")
+
+    q["pii_scrub"] = q_pii_scrub
+
     def q_timestamp_window(spark, sf_dir):
         e = tables.load(spark, sf_dir, "events")
         return (
@@ -1435,6 +1461,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.doc_id, g.n_words, g.n_stop_hits
         FROM g JOIN comp ON g.doc_id = comp.id
         WHERE g.gopher_pass AND g.doc_id = comp.comp
+    """
+
+    from ocr_system_spark.operators.scrub import PII_PATTERNS
+    _pii_enrich = """
+        SELECT doc_id,
+               text
+               || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+               || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+               || '.' || CAST(doc_id % 200 + 1 AS VARCHAR)
+               || ' call +1 (' || CAST(doc_id % 900 + 100 AS VARCHAR)
+               || ') ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+               || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+               AS text
+        FROM documents
+    """
+    # DuckDB single-quoted literals keep backslashes verbatim — embed the
+    # patterns unescaped so RE2 sees exactly what Java's engine sees
+    _scrub_sql = "text"
+    for _n, _pat, _repl in PII_PATTERNS:
+        _scrub_sql = (f"regexp_replace({_scrub_sql}, '{_pat}', "
+                      f"'{_repl}', 'g')")
+    _count_cols = ", ".join(
+        f"len(regexp_extract_all(text, '{_pat}')) AS n_{_n}"
+        for _n, _pat, _r in PII_PATTERNS)
+    o["pii_scrub"] = f"""
+        SELECT doc_id, {_scrub_sql} AS scrubbed, {_count_cols}
+        FROM ({_pii_enrich})
     """
 
     o["timestamp_window"] = """

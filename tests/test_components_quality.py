@@ -81,3 +81,24 @@ def test_gopher_gates(spark):
     assert got[1][2] is True and got[1][1] >= 2
     assert got[2] == (3, 3, False)          # too short
     assert got[3][2] is False               # no stopwords
+
+
+def test_pii_scrub_cases(spark):
+    from ocr_system_spark.operators.scrub import with_pii_scrubbed
+    rows = [
+        (1, "mail a.b+c_d%e@sub.domain.org now"),
+        (2, "two bob@x.io and eve@y.co, done"),
+        (3, "server at 192.168.0.1:8080 up"),
+        (4, "call +44 (123) 456-7890 or 555-123-4567"),
+        (5, "no pii here at all"),
+        (6, "not-an-email @missing.local and 1.2.3 short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_pii_scrubbed(df).collect()}
+    assert got[1].scrubbed == "mail [EMAIL] now" and got[1].n_email == 1
+    assert got[2].scrubbed == "two [EMAIL] and [EMAIL], done" and got[2].n_email == 2
+    assert got[3].scrubbed == "server at [IP]:8080 up" and got[3].n_ipv4 == 1
+    assert got[4].n_phone == 2
+    assert got[4].scrubbed == "call [PHONE] or [PHONE]"
+    assert got[5].scrubbed == rows[4][1]                # untouched
+    assert got[6].n_email == 0 and got[6].n_ipv4 == 0
