@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one DataFrame callable per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-runnable ANSI equivalent for EVERY query — 56/56, no
+gives the DuckDB-runnable ANSI equivalent for EVERY query — 57/57, no
 rows-only entries.
 
 Oracle strategies, by kernel class:
