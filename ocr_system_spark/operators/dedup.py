@@ -511,34 +511,38 @@ def simhash_pairs(
     key_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
+    salt_cap: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the four 16-bit sub-keys (any pair
     within Hamming ≤ 3 of 64 bits must agree exactly on ≥1 of 4 sub-keys —
-    pigeonhole), then verify exact Hamming distance JVM-side via bit_count."""
-    sh = with_simhash(df.select(F.col(key_col).alias("id"), text_col), text_col)
+    pigeonhole), then verify exact Hamming distance JVM-side via bit_count.
+
+    The sub-key self-join goes through the same triangle salting as the
+    MinHash band join (``_salted_band_candidates``): a viral cluster shares
+    all four sub-keys, so without the salt its G²/2 candidate pairs land in
+    ONE task."""
+    # cached: read three times (sub-key explode + both verify sides) and
+    # the signature kernel is the dominant cost; payload is (id, long)
+    sh = (with_simhash(df.select(F.col(key_col).alias("id"), text_col), text_col)
+          .select("id", "simhash")
+          .cache())
     keyed = sh.select(
-        "id", "simhash",
+        "id",
         F.explode(F.array(*[
             F.struct(
-                F.lit(j).alias("part"),
-                F.shiftrightunsigned(F.col("simhash"), j * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), j * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("bhash"),
             )
             for j in range(4)
         ])).alias("b"),
-    ).select("id", "simhash", "b.part", "b.key")
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(b, (F.col("a.part") == F.col("b.part"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"),
-        )
-        .distinct()
-    )
+    ).select("id", "b.band", "b.bhash")
+    cand = _salted_band_candidates(keyed, salt_cap)
+    ha = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    hb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        cand.join(ha, "id_a").join(hb, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
