@@ -255,7 +255,14 @@ def lsh_topk(
     L-table LSH — single-probe recall on moderate-similarity neighbors is
     poor, union-of-tables trades candidate count for recall). Candidates
     are deduped before scoring, then ranked exactly. Recall vs
-    brute_force_topk is asserted in tests — approximation is the point."""
+    brute_force_topk is asserted in tests — approximation is the point.
+
+    Scale shape: the query side is broadcast (no shuffle of the corpus —
+    the bucket join is a BroadcastHashJoin on bucket equality). That is
+    right while the query set fits a broadcast (~millions of rows); for a
+    query set at corpus scale, drop the broadcast hint so the join becomes
+    a shuffle on the bucket id, and grow n_planes with log2(N) to keep
+    per-bucket occupancy bounded (same salting rules as cosine_dup_pairs)."""
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.explode(_bucket_array(vec_col, n_tables, n_planes, dim, seed)).alias("c_bkt"),
