@@ -4,8 +4,11 @@ quality scoring, token counting, document fingerprinting.
 Two tiers per operator:
 * a JVM-expressible form (built into the driver queries — pure
   pyspark.sql.functions, oracle-checkable against DuckDB);
-* a batch-kernel form here for the parts SQL can't express (character
-  n-gram language ID, winnowing fingerprints), Arrow-batched via pandas_udf.
+* a batch-kernel form here (character n-gram language ID, winnowing
+  fingerprints), Arrow-batched via pandas_udf. These are still
+  oracle-checkable: the langid oracle is SQL GENERATED from the same
+  profile constants, and the winnowing hash is a codepoint polynomial an
+  independent SQL engine can recompute from scratch.
 """
 
 from __future__ import annotations

@@ -5,7 +5,9 @@ Five dedup strategies, all expressed Spark-first:
 * exact           — content-hash groupBy (one shuffle on the hash)
 * n-gram Jaccard  — exact sparse similarity join: shingle-explode →
                     self-join on (shingle, blocking key) → integer
-                    intersection/union counts (no FP in the output)
+                    intersection/union counts. Shingles travel as 64-bit
+                    hashes (collisions ~n²/2^64 — exact w.h.p., and the
+                    DuckDB string-set oracle confirms it at test scale)
 * MinHash + LSH   — k JVM-side hash permutations over shingles → banded
                     signature buckets → candidate pairs → EXACT Jaccard
                     verification of candidates (so output matches the exact
