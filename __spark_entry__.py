@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one DataFrame callable per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-runnable ANSI equivalent for EVERY query — 57/57, no
+gives the DuckDB-runnable ANSI equivalent for EVERY query — 58/58, no
 rows-only entries.
 
 Oracle strategies, by kernel class:
@@ -753,6 +753,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = q_curation_pipeline
 
+    def q_quantiles(spark, sf_dir):
+        """Exact interpolated percentiles per group (Spark `percentile` and
+        DuckDB `quantile_cont` share the linear-interpolation definition;
+        rounded to 6dp for cross-engine float stability). At corpus scale
+        swap for approx_percentile — documented, not benched here because
+        sketch implementations differ across engines."""
+        e = tables.load(spark, sf_dir, "events")
+        return (e.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        ))
+
+    q["quantiles"] = q_quantiles
+
     def q_pii_scrub(spark, sf_dir):
         """PII redaction over text enriched with synthetic email/IP/phone
         built from doc_id — pure JVM regexp chain; DuckDB re-runs the same
@@ -1461,6 +1476,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.doc_id, g.n_words, g.n_stop_hits
         FROM g JOIN comp ON g.doc_id = comp.id
         WHERE g.gopher_pass AND g.doc_id = comp.comp
+    """
+
+    o["quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6)  AS p50,
+               round(quantile_cont(value, 0.9), 6)  AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
     """
 
     from ocr_system_spark.operators.scrub import PII_PATTERNS
