@@ -73,4 +73,6 @@ def test_pathological_inputs_complete_fast():
         t0 = time.perf_counter()
         extract_main_batch([src])
         dt = time.perf_counter() - t0
-        assert dt < 10.0, (name, dt)
+        # generous bound: a backtracking blowup is minutes-to-forever, and
+        # the co-tenanted box can stretch honest runs several-fold
+        assert dt < 30.0, (name, dt)
