@@ -68,9 +68,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn, reps: int = 2, between=None) -> None:
-        # best-of-N: this box is co-tenanted (host load spikes with zero
-        # local processes) and single-shot walls swing 2-5×; the minimum is
+    def timed(name: str, fn, reps: int = 3, between=None) -> None:
+        # best-of-N (N=3): this box is co-tenanted (host load spikes with
+        # zero local processes) and single-shot walls swing 2-5×; the minimum is
         # the interference-free estimate. The first reps also absorb
         # first-execution JIT for shapes the suite hasn't warmed.
         # ``between`` resets state OUTSIDE the timing (e.g. drops a query's
