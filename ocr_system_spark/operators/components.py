@@ -54,6 +54,7 @@ def connected_components(
 
     labels = node_ids.withColumn("comp", F.col(id_col)).localCheckpoint(eager=True)
 
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.v == labels[id_col])
@@ -72,4 +73,13 @@ def connected_components(
         labels = new_labels.drop("_old")
         if changed == 0:
             break
+    if changed != 0:
+        # an unconverged label set is silently WRONG (some nodes still carry
+        # a non-minimal component id) — refuse to return it
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still moving). The graph has longer "
+            "chains than min-label propagation handles in this budget — "
+            "raise max_iter, or use the large-star/small-star formulation "
+            "for O(log n) rounds on arbitrary graphs.")
     return labels

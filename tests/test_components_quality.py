@@ -102,3 +102,11 @@ def test_pii_scrub_cases(spark):
     assert got[4].scrubbed == "call [PHONE] or [PHONE]"
     assert got[5].scrubbed == rows[4][1]                # untouched
     assert got[6].n_email == 0 and got[6].n_ipv4 == 0
+
+
+def test_components_raise_rather_than_return_unconverged(spark):
+    import pytest as _pytest
+    edges = [(i, i + 1) for i in range(30)]     # path: diameter 29
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=3)
