@@ -28,6 +28,91 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. SoCC'14): every node u connects its
+    LARGER neighbors to the minimum of its neighborhood (incl. itself)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m")))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges to the larger endpoint, then connect
+    each center's smaller neighbors (and itself) to the neighborhood min."""
+    canon = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        canon.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: Optional[DataFrame] = None,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, comp) via alternating large-star/small-star rounds — the
+    general-graph path: provably O(log n) rounds on ANY topology (long
+    chains included), each round two shuffles. Use this when the pair
+    graph is not the near-clique shape of dedup output.
+
+    Fixpoint: the paper's termination condition is an unchanged edge set;
+    an (count, per-edge hash sum) fingerprint detects that without a full
+    sort-compare."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    universe = e.select("u").union(e.select("v")).distinct() \
+        .withColumnRenamed("u", id_col)
+    if nodes is not None:
+        universe = nodes.select(F.col(id_col)).distinct()
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: ANSI mode makes a long sum of 64-bit
+            # hashes an overflow ERROR, not a wrap
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(e)
+    converged = False
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nfp = fingerprint(e)
+        if nfp == fp:
+            converged = True
+            break
+        fp = nfp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach an edge fixpoint in "
+            f"{max_iter} rounds — raise max_iter (O(log n) rounds expected).")
+    # at the fixpoint every edge points a node at its component's min
+    comp = (e.groupBy("u").agg(F.min("v").alias("comp"))
+            .withColumnRenamed("u", id_col))
+    return (
+        universe.join(comp, id_col, "left")
+        .select(id_col, F.least(F.coalesce("comp", F.col(id_col)),
+                                F.col(id_col)).alias("comp"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -42,6 +127,10 @@ def connected_components(
     ``nodes`` optionally supplies the full node universe — nodes with no
     edges come back as their own singleton component (what a dedup pipeline
     needs: every document gets a cluster id).
+
+    This is the min-label-propagation form (rounds = diameter — right for
+    near-clique dedup graphs). For arbitrary topology use
+    :func:`connected_components_star` (O(log n) rounds).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

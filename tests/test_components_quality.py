@@ -110,3 +110,27 @@ def test_components_raise_rather_than_return_unconverged(spark):
     e = spark.createDataFrame(edges, "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, max_iter=3)
+
+
+def test_star_components_match_union_find(spark):
+    from ocr_system_spark.operators.components import connected_components_star
+    rng = random.Random(11)
+    n = 150
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(120)})
+    truth = _union_find_truth(n, edges)
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(n).withColumnRenamed("id", "id")
+    got = {r.id: r.comp
+           for r in connected_components_star(e, nodes=nodes).collect()}
+    assert got == truth
+
+
+def test_star_components_handle_long_chain_in_few_rounds(spark):
+    """A 200-node path (diameter 199) — min-label propagation would need
+    ~200 rounds; large-star/small-star must do it within O(log n)."""
+    from ocr_system_spark.operators.components import connected_components_star
+    edges = [(i, i + 1) for i in range(199)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.comp
+           for r in connected_components_star(e, max_iter=25).collect()}
+    assert got == {i: 0 for i in range(200)}
