@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
 ``queries()`` exposes one DataFrame callable per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-runnable ANSI equivalent for EVERY query — 58/58, no
+gives the DuckDB-runnable ANSI equivalent for EVERY query — 59/59, no
 rows-only entries.
 
 Oracle strategies, by kernel class:
@@ -753,6 +753,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = q_curation_pipeline
 
+    def q_zscore_by_lang(spark, sf_dir):
+        """Per-language standardization of doc length (the per-group
+        calibration a curation pipeline applies before thresholding) —
+        pure window aggregates, no ranking, no UDF."""
+        from pyspark.sql import Window as W
+        d = tables.load(spark, sf_dir, "documents")
+        w = W.partitionBy("lang")
+        return d.select(
+            "doc_id", "lang",
+            F.round(
+                (F.col("n_chars") - F.avg("n_chars").over(w))
+                / F.stddev_samp("n_chars").over(w), 6).alias("len_z"),
+            F.count(F.lit(1)).over(w).alias("lang_docs"),
+        )
+
+    q["zscore_by_lang"] = q_zscore_by_lang
+
     def q_quantiles(spark, sf_dir):
         """Exact interpolated percentiles per group (Spark `percentile` and
         DuckDB `quantile_cont` share the linear-interpolation definition;
@@ -1476,6 +1493,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.doc_id, g.n_words, g.n_stop_hits
         FROM g JOIN comp ON g.doc_id = comp.id
         WHERE g.gopher_pass AND g.doc_id = comp.comp
+    """
+
+    o["zscore_by_lang"] = """
+        SELECT doc_id, lang,
+               round((n_chars - avg(n_chars) OVER w)
+                     / stddev_samp(n_chars) OVER w, 6) AS len_z,
+               count(*) OVER w AS lang_docs
+        FROM documents
+        WINDOW w AS (PARTITION BY lang)
     """
 
     o["quantiles"] = """
