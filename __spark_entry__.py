@@ -429,14 +429,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_embedding_dup_pairs(spark, sf_dir):
         """Embedding-cosine near-dup pairs (≥0.95) over embeddings ∪ scaled
-        copies (exact duplicates up to scale → cosine ≈ 1)."""
-        from ocr_system_spark.operators.similarity import cosine_dup_pairs
+        copies (exact duplicates up to scale → cosine ≈ 1). The scaled copy
+        is computed in FLOAT (x·float32(1.01)) so the DuckDB oracle — which
+        now replays the SRP bucket blocking from plane literals instead of
+        pretending to be an exact all-pairs contract — sees bit-identical
+        vectors on both engines."""
+        from ocr_system_spark.operators.similarity import cosine_dup_pairs_lsh
         e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         scaled = e.select(
             (F.col("vec_id") + 100000).alias("vec_id"),
-            F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+            F.transform(
+                "embedding",
+                lambda x: (x * F.lit(1.01).cast("float")).cast("float"),
+            ).alias("embedding"),
         )
-        return cosine_dup_pairs(e.union(scaled), min_cosine=0.95)
+        return cosine_dup_pairs_lsh(e.union(scaled), min_cosine=0.95)
 
     q["embedding_dup_pairs"] = q_embedding_dup_pairs
 
@@ -824,6 +831,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["timestamp_window"] = q_timestamp_window
 
+    def _docs_with_planted_passages(spark, sf_dir):
+        """documents with a deterministic 96-char passage (3× the md5 hex
+        of doc_id — unique per pair, SQL-reconstructable) appended to every
+        10th doc, plus a +100000 copy embedding the SAME passage in
+        otherwise-different text (reversed chars). The only cross-document
+        shared spans are the planted ones (plus whatever short vocab-level
+        k-grams survive the boilerplate guard — deterministic either way)."""
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        passage = F.repeat(F.md5(F.col("doc_id").cast("string")), 3)
+        tenth = d.filter(F.col("doc_id") % 10 == 0)
+        base = (
+            tenth.select("doc_id",
+                         F.concat("text", F.lit(" "), passage).alias("text"))
+            .union(d.filter(F.col("doc_id") % 10 != 0))
+        )
+        planted = tenth.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(passage, F.lit(" "), F.reverse(F.col("text"))).alias("text"))
+        return base.union(planted)
+
+    def q_dup_spans(spark, sf_dir):
+        """Substring-level dedup: cross-document winnowing-fingerprint span
+        matches over documents with planted shared passages. The DuckDB
+        oracle replays the whole pipeline — normalization, k-gram Horner
+        hash, winnow selection, boilerplate guard, fp self-join."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.spans import duplicate_spans
+        return duplicate_spans(_docs_with_planted_passages(spark, sf_dir))
+
+    q["dup_spans"] = q_dup_spans
+
+    def q_dup_span_mass(spark, sf_dir):
+        """Per-document duplicate-span mass (integer counts) — the
+        corpus-wide curation signal derived from the same fingerprints."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.spans import dup_span_doc_mass
+        return dup_span_doc_mass(_docs_with_planted_passages(spark, sf_dir))
+
+    q["dup_span_mass"] = q_dup_span_mass
+
+    def q_url_canon_dedup(spark, sf_dir):
+        """URL canonicalization + alias-group dedup over deterministic
+        messy URLs (case/default-port/tracking-param/trailing-slash/
+        fragment variants built from doc_id). Pure JVM expression chain;
+        the oracle replays every canonicalization step in SQL."""
+        from ocr_system_spark.operators.urls import url_dedup_groups
+        d = tables.load(spark, sf_dir, "documents")
+        k = F.floor(F.col("doc_id") / 5).cast("long").cast("string")
+        url = (
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("HTTP://Example.COM:80/a/b/?utm_source=feed&x="), k))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.concat(F.lit("http://example.com/a/b?x="), k))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.concat(F.lit("https://Sub.Example.com:443/p/"), k, F.lit("/")))
+            .when(F.col("doc_id") % 5 == 3,
+                  F.concat(F.lit("https://sub.example.com/p/"), k, F.lit("#frag")))
+            .otherwise(F.lit("http://example.com:8080/q?gclid=xyz&utm_campaign=c")))
+        return url_dedup_groups(d.select("doc_id", url.alias("url")))
+
+    q["url_canon_dedup"] = q_url_canon_dedup
+
+    def q_dedup_incremental(spark, sf_dir):
+        """Incremental MinHash dedup: a new batch (perturbed copies of
+        every 5th doc) deduped AGAINST the persisted signature index of the
+        full corpus — band-bucket join + exact verify, no corpus re-shingle.
+        Oracle: exact Jaccard between the two document sets."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.dedup import (
+            incremental_minhash_pairs, minhash_signatures)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        batch = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(words, 2, F.size(words) - 1), " ").alias("text"))
+        index_sig = minhash_signatures(d, "doc_id")
+        batch_sig = minhash_signatures(batch, "doc_id")
+        return incremental_minhash_pairs(batch_sig, index_sig)
+
+    q["dedup_incremental"] = q_dedup_incremental
+
+    def q_ivf_train_topk(spark, sf_dir):
+        """IVF top-5 on TRAINED centroids: deterministic stride init + two
+        distributed Lloyd iterations with integer-exact quantized means, so
+        the DuckDB oracle replays training end-to-end (bit-identical
+        centroids) and then the probe/rank."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.similarity import (
+            ivf_topk, train_ivf_centroids)
+        e = tables.load(spark, sf_dir, "embeddings")
+        cents = train_ivf_centroids(e, n_centroids=16, iters=2)
+        return ivf_topk(e, e.filter(F.col("vec_id") < 20), k=5,
+                        n_probe=4, centroids=cents)
+
+    q["ivf_train_topk"] = q_ivf_train_topk
+
     return q
 
 
@@ -1171,16 +1274,218 @@ def oracle_sql() -> dict[str, str]:
         FROM scored WHERE rk <= 5
     """
 
-    o["embedding_dup_pairs"] = """
+    # trained-IVF oracle: replay the ENTIRE training loop — stride init,
+    # then per iteration (argmax-cosine assignment, integer-exact quantized
+    # mean) — and finally the probe/rank. The quantized-sum construction
+    # makes the centroids BIT-identical across engines (exact BIGINT sums,
+    # two IEEE divisions of exactly-represented operands), so this is a
+    # genuinely independent end-to-end recomputation of training.
+    def _lloyd_iter(prev: str, n: int) -> str:
+        return f"""
+        a{n} AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell) AS rk
+                FROM e CROSS JOIN {prev} c) t
+            WHERE rk = 1),
+        m{n} AS (
+            SELECT cell, i,
+                   CAST(CAST(sum(q[i + 1]) AS BIGINT) AS DOUBLE)
+                       / count(*) / 1048576.0 AS cval
+            FROM a{n} JOIN vq USING (vec_id), range(64) r(i)
+            GROUP BY cell, i),
+        cent{n} AS (
+            SELECT cell, list(cval ORDER BY i) AS cv FROM m{n} GROUP BY cell
+            UNION ALL
+            SELECT cell, cv FROM {prev}
+            WHERE cell NOT IN (SELECT cell FROM m{n}))"""
+
+    o["ivf_train_topk"] = f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        vq AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+            FROM embeddings),
+        tot AS (SELECT count(*) AS n FROM e),
+        cent0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+            FROM e, tot
+            WHERE vec_id % greatest(n // 16, 1) = 0
+            ORDER BY vec_id LIMIT 16),
+        {_lloyd_iter('cent0', 1)},
+        {_lloyd_iter('cent1', 2)},
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell) AS rk
+                FROM e CROSS JOIN cent2 c) t
+            WHERE rk = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell) AS rk
+                FROM e CROSS JOIN cent2 c
+                WHERE e.vec_id < 20) t
+            WHERE rk <= 4),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a USING (cell)
+            WHERE a.vec_id != p.query_id),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe.v, ne.v) DESC,
+                                neighbor_id) AS rk
+            FROM cand
+            JOIN e qe ON qe.vec_id = query_id
+            JOIN e ne ON ne.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank
+        FROM scored WHERE rk <= 5
+    """
+
+    # embedding near-dup oracle: replay the SRP-LSH BLOCKING itself from
+    # the seeded plane literals (8 tables × 8 planes — same machinery as
+    # the lsh_topk oracle), then exact-verify candidates. The oracle now
+    # states the operator's real contract — candidate-then-verify over
+    # these specific buckets — instead of an exact all-pairs contract that
+    # only held because test pairs sit at cosine ≈ 1.0.
+    _dup_bkt_exprs = []
+    for _t in range(8):                      # n_tables=8, n_planes=8, dim=64
+        _planes = _hyperplanes(8, 64, 424242 + 1000 * _t)
+        _bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_lit(_p)}) > 0"
+            f" THEN {1 << _i} ELSE 0 END)"
+            for _i, _p in enumerate(_planes))
+        _dup_bkt_exprs.append(f"({_bits} + {_t << 8})")
+    o["embedding_dup_pairs"] = f"""
         WITH u AS (
             SELECT vec_id, embedding FROM embeddings
             UNION ALL
             SELECT vec_id + 100000,
                    list_transform(embedding, x -> x * CAST(1.01 AS FLOAT))
-            FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM u a JOIN u b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            FROM embeddings),
+        e AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM u),
+        b AS (
+            SELECT vec_id, unnest([{", ".join(_dup_bkt_exprs)}]) AS bkt
+            FROM e),
+        cand AS (
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id)
+        SELECT id_a, id_b
+        FROM cand
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+        WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.95
+    """
+
+    o["url_canon_dedup"] = """
+        WITH w AS (
+            SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+                WHEN 0 THEN 'HTTP://Example.COM:80/a/b/?utm_source=feed&x='
+                            || CAST(doc_id // 5 AS VARCHAR)
+                WHEN 1 THEN 'http://example.com/a/b?x='
+                            || CAST(doc_id // 5 AS VARCHAR)
+                WHEN 2 THEN 'https://Sub.Example.com:443/p/'
+                            || CAST(doc_id // 5 AS VARCHAR) || '/'
+                WHEN 3 THEN 'https://sub.example.com/p/'
+                            || CAST(doc_id // 5 AS VARCHAR) || '#frag'
+                ELSE 'http://example.com:8080/q?gclid=xyz&utm_campaign=c'
+                END AS url
+            FROM documents),
+        c0 AS (SELECT doc_id, trim(url) AS u FROM w),
+        c1 AS (SELECT doc_id,
+                      lower(split_part(u, '://', 1)) AS scheme,
+                      split_part(split_part(u, '://', 2), '#', 1) AS rest
+               FROM c0),
+        c2 AS (SELECT *,
+                      CASE WHEN strpos(rest, '/') > 0
+                           THEN substr(rest, 1, strpos(rest, '/') - 1)
+                           ELSE rest END AS hostport,
+                      CASE WHEN strpos(rest, '/') > 0
+                           THEN substr(rest, strpos(rest, '/'))
+                           ELSE '' END AS pathq
+               FROM c1),
+        c3 AS (SELECT *,
+                      lower(CASE WHEN strpos(hostport, ':') > 0
+                                 THEN substr(hostport, 1, strpos(hostport, ':') - 1)
+                                 ELSE hostport END) AS host,
+                      CASE WHEN strpos(hostport, ':') > 0
+                           THEN substr(hostport, strpos(hostport, ':') + 1)
+                           ELSE '' END AS port0
+               FROM c2),
+        c4 AS (SELECT *,
+                      CASE WHEN (scheme = 'http' AND port0 = '80')
+                             OR (scheme = 'https' AND port0 = '443')
+                           THEN '' ELSE port0 END AS port,
+                      CASE WHEN strpos(pathq, '?') > 0
+                           THEN substr(pathq, 1, strpos(pathq, '?') - 1)
+                           ELSE pathq END AS path,
+                      CASE WHEN strpos(pathq, '?') > 0
+                           THEN substr(pathq, strpos(pathq, '?') + 1)
+                           ELSE '' END AS qs
+               FROM c3),
+        c5 AS (SELECT *,
+                      array_to_string(list_filter(string_split(qs, '&'),
+                          x -> x != '' AND NOT regexp_matches(x,
+                               '^(utm_[^=]*|gclid|fbclid|ref)=')), '&') AS qs2,
+                      CASE WHEN path = '' THEN '/'
+                           WHEN path = '/' THEN '/'
+                           ELSE regexp_replace(path, '/$', '') END AS path2
+               FROM c4),
+        canon AS (SELECT doc_id,
+                         scheme || '://' || host
+                         || CASE WHEN port != '' THEN ':' || port ELSE '' END
+                         || path2
+                         || CASE WHEN qs2 != '' THEN '?' || qs2 ELSE '' END
+                         AS canon_url
+                  FROM c5)
+        SELECT canon_url, count(*) AS n_copies, min(doc_id) AS keep_id
+        FROM canon GROUP BY canon_url
+    """
+
+    o["dedup_incremental"] = r"""
+        WITH bi AS (SELECT doc_id AS id, trim(text) AS t FROM documents),
+        bb AS (
+            SELECT doc_id + 100000 AS id,
+                   array_to_string(
+                     regexp_split_to_array(trim(text), '\s+')[2:len(regexp_split_to_array(trim(text), '\s+'))],
+                     ' ') AS t
+            FROM documents WHERE doc_id % 5 = 0),
+        shi AS (
+            SELECT id,
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT id, regexp_split_to_array(t, '\s+') AS w FROM bi)
+            WHERE len(w) >= 3),
+        shb AS (
+            SELECT id,
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT id, regexp_split_to_array(t, '\s+') AS w FROM bb)
+            WHERE len(w) >= 3)
+        SELECT index_id, batch_id, inter, uni FROM (
+            SELECT i.id AS index_id, b.id AS batch_id,
+                   len(list_intersect(i.s, b.s)) AS inter,
+                   len(i.s) + len(b.s) - len(list_intersect(i.s, b.s)) AS uni
+            FROM shi i JOIN shb b ON i.id != b.id)
+        WHERE inter >= 1 AND 100 * inter >= 70 * uni
     """
     o["token_counts"] = r"""
         SELECT doc_id,
@@ -1237,14 +1542,20 @@ def oracle_sql() -> dict[str, str]:
         _horner = (f"(({_horner}) * 257 + "
                    f"unicode(substr(t, CAST(pos AS INTEGER) + {_j + 1}, 1)))"
                    " % 2147483647")
-    o["winnow_fingerprint"] = f"""
-        WITH norm AS (
+    def _winnow_fps_cte(src: str) -> str:
+        """CTE chain recomputing the winnowing fingerprints of relation
+        ``src`` (doc_id, text) from scratch — normalization, k=8 codepoint
+        Horner hash, window-4 rightmost-minimum selection — ending in a
+        ``fps(doc_id, pos, fp)`` relation. Shared by the winnow_fingerprint
+        / dup_spans / dup_span_mass oracles."""
+        return f"""
+        norm AS (
             SELECT doc_id,
                    trim(regexp_replace(
                         translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                                         'abcdefghijklmnopqrstuvwxyz'),
                         '[\\t\\n\\f\\r ]+', ' ', 'g'), ' ') AS t
-            FROM documents),
+            FROM {src}),
         grams0 AS (
             SELECT doc_id, t,
                    unnest(range(0, greatest(length(t) - 7, 0))) AS pos
@@ -1263,8 +1574,51 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY wins.doc_id, wins.s
                                       ORDER BY grams.h ASC, grams.pos DESC) AS rk
             FROM wins JOIN grams ON grams.doc_id = wins.doc_id
-                                AND grams.pos BETWEEN wins.s AND wins.s + 3)
-        SELECT DISTINCT doc_id, pos, h AS fp FROM sel WHERE rk = 1
+                                AND grams.pos BETWEEN wins.s AND wins.s + 3),
+        fps AS (SELECT DISTINCT doc_id, pos, h AS fp FROM sel WHERE rk = 1)
+        """
+
+    o["winnow_fingerprint"] = f"""
+        WITH {_winnow_fps_cte('documents')}
+        SELECT doc_id, pos, fp FROM fps
+    """
+
+    # planted-passage base for the span-dedup oracles — mirrors
+    # _docs_with_planted_passages in queries() expression for expression
+    _PLANTED_SRC = """
+        src AS (
+            SELECT doc_id,
+                   text || ' ' || repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS text
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+            UNION ALL
+            SELECT doc_id + 100000,
+                   repeat(md5(CAST(doc_id AS VARCHAR)), 3) || ' ' || reverse(text)
+            FROM documents WHERE doc_id % 10 = 0)
+    """
+
+    o["dup_spans"] = f"""
+        WITH {_PLANTED_SRC},
+        {_winnow_fps_cte('src')},
+        ok AS (SELECT fp FROM fps GROUP BY fp
+               HAVING count(DISTINCT doc_id) <= 8),
+        g AS (SELECT f.doc_id, f.pos, f.fp FROM fps f JOIN ok USING (fp))
+        SELECT a.doc_id AS id_a, a.pos AS pos_a,
+               b.doc_id AS id_b, b.pos AS pos_b, a.fp AS fp
+        FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    """
+
+    o["dup_span_mass"] = f"""
+        WITH {_PLANTED_SRC},
+        {_winnow_fps_cte('src')},
+        dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+        cnt AS (SELECT fp, count(*) AS n_docs FROM dfp GROUP BY fp)
+        SELECT doc_id AS id, count(*) AS n_fps,
+               CAST(sum(CASE WHEN n_docs BETWEEN 2 AND 8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_fps
+        FROM dfp JOIN cnt USING (fp)
+        GROUP BY doc_id
     """
     o["multimodal_meta"] = """
         SELECT doc_id AS id,

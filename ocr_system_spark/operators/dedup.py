@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import random
 import re
+from functools import lru_cache
 from typing import Iterator, Optional
 
 import numpy as np
@@ -109,6 +110,7 @@ def ngram_jaccard_pairs(
     block_col: Optional[str] = None,
     min_jaccard_pct: int = 50,
     max_group: int = 1000,
+    salt_cap: int = 250,
 ) -> DataFrame:
     """All pairs with word-``n``-gram Jaccard ≥ min_jaccard_pct/100, via the
     exact sparse-join: explode shingles, self-join on shingle (+ optional
@@ -121,16 +123,24 @@ def ngram_jaccard_pairs(
     per-doc shingle SETS before anything is counted, so inter/uni/n_sh are
     all computed over the same (non-frequent) universe — the output stays
     exactly "Jaccard over non-frequent shingles", never a mixed count.
+
+    ``salt_cap``: shingle groups that SURVIVE the guard but exceed this
+    size (boilerplate just under ``max_group`` — common at crawl scale) go
+    through the same triangle salting as the MinHash band join, so no
+    single task ever holds ~max_group²/2 pairs; the pair set (and every
+    inter/uni count) is unchanged.
     """
     # shingles travel as 64-bit hashes (with_hashed_shingles): the explode +
     # self-join below shuffles every shingle twice, so 8-byte longs instead
     # of strings cut the operator's dominant shuffle ~4×. Set-cardinality
     # decisions (inter/uni/n_sh) are unchanged w.h.p. (collisions ~n²/2^64).
+    # cached: read by the frequency aggregate, the salted-group probe, and
+    # the exploded join side — one fused-kernel run instead of three
     base = with_hashed_shingles(df, text_col, n).select(
         F.col(key_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
         F.col("sh_hashes").alias("shingles"),
-    )
+    ).cache()
     # frequent-shingle guard: the hot set is tiny by construction (shingles
     # in > max_group docs), so collect it per block and broadcast; subtract
     # from the arrays BEFORE sizing so n_sh matches the joined universe.
@@ -148,17 +158,19 @@ def ngram_jaccard_pairs(
         .select("id", "blk", F.size("shingles").alias("n_sh"),
                 F.explode("shingles").alias("shingle"))
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # shingle groups that survive the guard but exceed salt_cap are
+    # triangle-salted (freq is already aggregated — reuse it as `big`)
+    big = (freq.filter((F.col("g") > salt_cap) & (F.col("g") <= max_group))
+           .select("blk", "shingle", F.col("g").alias("gsz")))
+    matched = _salted_self_join(sh, ["blk", "shingle"], salt_cap,
+                                payload_cols=("n_sh",), big=big)
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        matched
+        .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
+            F.first("a_n_sh").alias("n_a"),
+            F.first("b_n_sh").alias("n_b"),
         )
         .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .filter(F.col("inter") * 100 >= F.col("uni") * min_jaccard_pct)
@@ -187,10 +199,31 @@ def with_shingle_hashes(df: DataFrame, shingle_col: str = "shingles",
 
 
 # odd 64-bit mixing multipliers (splitmix64 constants) — one per shingle
-# position so reordered words hash differently
+# position so reordered words hash differently. Positions beyond the
+# seeded six are derived on demand (splitmix64 of the position, forced
+# odd), so any n is valid — n used to raise IndexError past 6.
 _MIX = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
                  0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0xC2B2AE3D27D4EB4F],
                 dtype=np.uint64)
+
+_M64 = (1 << 64) - 1
+
+
+@lru_cache(maxsize=None)
+def _mix_for(n: int) -> np.ndarray:
+    """Per-position multipliers for word-``n``-grams: the seeded constants
+    for positions 0–5 (unchanged — existing hashes/oracles depend on them),
+    splitmix64(position)|1 beyond."""
+    if n <= len(_MIX):
+        return _MIX[:n]
+    extra = []
+    for j in range(len(_MIX), n):
+        z = (j * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        z ^= z >> 31
+        extra.append(z | 1)
+    return np.concatenate([_MIX, np.array(extra, dtype=np.uint64)])
 
 
 def _hashed_shingles_one(words: list, n: int, memo: dict) -> np.ndarray:
@@ -201,6 +234,7 @@ def _hashed_shingles_one(words: list, n: int, memo: dict) -> np.ndarray:
     if len(words) < n:
         return np.empty(0, dtype=np.int64)
     import hashlib
+    mix = _mix_for(n)
     wh = np.empty(len(words), dtype=np.uint64)
     for i, w in enumerate(words):
         h = memo.get(w)
@@ -211,9 +245,9 @@ def _hashed_shingles_one(words: list, n: int, memo: dict) -> np.ndarray:
         wh[i] = h
     m = len(words) - n + 1
     with np.errstate(over="ignore"):
-        tri = wh[:m] * _MIX[0]
+        tri = wh[:m] * mix[0]
         for j in range(1, n):
-            tri = tri ^ (wh[j:j + m] * _MIX[j])
+            tri = tri ^ (wh[j:j + m] * mix[j])
     return np.unique(tri).view(np.int64)
 
 
@@ -327,41 +361,186 @@ def with_minhash(df: DataFrame, shingle_col: str = "shingles", k: int = 64,
     return df.withColumn(out_col, sig_udf(hashes))
 
 
-def _salted_band_candidates(exploded: DataFrame, salt_cap: int) -> DataFrame:
-    """Distinct candidate (id_a < id_b) pairs sharing a (band, bhash)
-    bucket, with triangle salting of oversized buckets.
+def _salted_self_join(
+    exploded: DataFrame,
+    keys: list,
+    salt_cap: int,
+    payload_cols: tuple = (),
+    big: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Self-join ``exploded`` (columns: id, *keys, *payload_cols) on
+    ``keys``, emitting EXACTLY ONE row per (key-group, unordered id pair)
+    with id_a < id_b and the pair's payloads as a_<col>/b_<col> — with
+    triangle salting of oversized key groups.
 
-    A bucket of G rows yields G²/2 pairs in ONE task under a plain
+    A group of G rows yields G²/2 pairs in ONE task under a plain
     self-join — a viral near-dup cluster at crawl scale quadratically blows
-    a single task. Buckets above ``salt_cap`` are hash-split into
+    a single task. Groups above ``salt_cap`` are hash-split into
     m=⌈G/cap⌉ chunks; a row in chunk c serves as the LEFT of chunk-pairs
     (c, j≥c) and the RIGHT of chunk-pairs (i≤c, c), and the join key
-    (band, bhash, pi, pj) spreads the same pair set over m(m+1)/2 bounded
-    tasks. No pair is lost: every (x, y) in the bucket meets in exactly the
-    chunk-pair (min(cx,cy), max(cx,cy))."""
-    big = (exploded.groupBy("band", "bhash")
-           .agg(F.count(F.lit(1)).alias("gsz"))
-           .filter(F.col("gsz") > salt_cap))
+    (*keys, pi, pj) spreads the same pair set over m(m+1)/2 bounded tasks.
+    No pair is lost or duplicated: pair (x, y) with chunks cx ≤ cy meets
+    only at chunk-pair (cx, cy), in one orientation when cx < cy and — via
+    the aid < bid filter — once when cx = cy.
+
+    ``big`` is the oversized-group relation (*keys, gsz): pass it
+    precomputed when the caller already aggregated group sizes (the ngram
+    path); when None it is derived here and, if EMPTY, the whole salting
+    machinery short-circuits to a plain |keys|-key equi-join — the common
+    no-viral-cluster case pays one tiny aggregate instead of a 4-key join
+    with a per-row ``sequence`` explode (the round-2 dedup_minhash
+    regression)."""
+    if big is None:
+        big = (exploded.groupBy(*keys)
+               .agg(F.count(F.lit(1)).alias("gsz"))
+               .filter(F.col("gsz") > salt_cap))
+    # the emptiness probe is ONE tiny aggregate job (over the caller's
+    # cached upstream in every call site) and decides between the plain
+    # 2-key join and the 4-key salted join + per-row sequence explode
+    if big.isEmpty():
+        big = None
+
+    def payload(side: str):
+        return [F.col(c).alias(f"{side}_{c}") for c in payload_cols]
+
+    if big is None:
+        a = exploded.select(F.col("id").alias("aid"), *keys, *payload("a"))
+        b = exploded.select(F.col("id").alias("bid"), *keys, *payload("b"))
+        return (a.join(b, list(keys))
+                .filter(F.col("aid") < F.col("bid"))
+                .select(F.col("aid").alias("id_a"), F.col("bid").alias("id_b"),
+                        *[F.col(f"{s}_{c}")
+                          for c in payload_cols for s in ("a", "b")]))
+
     ex = (
-        exploded.join(F.broadcast(big), ["band", "bhash"], "left")
+        exploded.join(F.broadcast(big.select(*keys, "gsz")), list(keys), "left")
         .withColumn("m", F.coalesce(
             F.ceil(F.col("gsz") / salt_cap), F.lit(1)).cast("int"))
         .withColumn("chunk", F.pmod(F.xxhash64("id"), F.col("m")).cast("int"))
     )
     a = ex.select(
-        F.col("id").alias("aid"), "band", "bhash",
+        F.col("id").alias("aid"), *keys, *payload("a"),
         F.col("chunk").alias("pi"),
         F.explode(F.sequence(F.col("chunk"), F.col("m") - 1)).alias("pj"))
     b = ex.select(
-        F.col("id").alias("bid"), "band", "bhash",
+        F.col("id").alias("bid"), *keys, *payload("b"),
         F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("pi"),
         F.col("chunk").alias("pj"))
+    j = (a.join(b, [*keys, "pi", "pj"])
+         .filter((F.col("pi") < F.col("pj")) | (F.col("aid") < F.col("bid"))))
+    swap = F.col("aid") > F.col("bid")
+    return j.select(
+        F.least("aid", "bid").alias("id_a"),
+        F.greatest("aid", "bid").alias("id_b"),
+        *[F.when(swap, F.col(f"{t}_{c}")).otherwise(F.col(f"{s}_{c}"))
+          .alias(f"{s}_{c}")
+          for c in payload_cols for s, t in (("a", "b"), ("b", "a"))])
+
+
+def _salted_band_candidates(exploded: DataFrame, salt_cap: int) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs sharing a (band, bhash)
+    bucket — the `_salted_self_join` core (triangle salting of oversized
+    buckets, plain 2-key join short-circuit when none exist) plus the
+    across-band distinct."""
+    return (_salted_self_join(exploded, ["band", "bhash"], salt_cap)
+            .select("id_a", "id_b")
+            .distinct())
+
+
+def minhash_signatures(df: DataFrame, key_col: str, text_col: str = "text",
+                       n: int = 3, k: int = 64,
+                       seed: int = 1234567) -> DataFrame:
+    """The persistable MinHash signature relation: (id, sh_hashes, minhash)
+    — one fused Arrow kernel per input row, empty-shingle rows dropped.
+    This is the table an INCREMENTAL dedup pipeline stores between batches
+    (write it bucketed by ``id`` via plans/bucketed for exchange-free
+    verification joins)."""
     return (
-        a.join(b, ["band", "bhash", "pi", "pj"])
-        .filter((F.col("pi") < F.col("pj")) | (F.col("aid") < F.col("bid")))
-        .select(F.least("aid", "bid").alias("id_a"),
-                F.greatest("aid", "bid").alias("id_b"))
+        with_hashed_shingles_minhash(df, text_col, n, k, seed)
+        .select(F.col(key_col).alias("id"), "sh_hashes", "minhash")
+        .filter(F.size("sh_hashes") > 0)
+    )
+
+
+def band_rows(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """LSH band rows (id, band, bhash) from a signature relation — pure
+    JVM expressions over the ``minhash`` array (xxhash64 of each band's
+    ``rows`` signature slots), so deriving band rows from a stored
+    signature table costs no Python and no extra kernel run."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.element_at("minhash", j * rows + r + 1).cast("string")
+                for r in range(rows)
+            ])).alias("bhash"),
+        )
+        for j in range(bands)
+    ])
+    return (
+        sig.select("id", F.explode(band_structs).alias("b"))
+        .select("id", F.col("b.band").alias("band"),
+                F.col("b.bhash").alias("bhash"))
+    )
+
+
+def incremental_minhash_pairs(
+    batch_sig: DataFrame,
+    index_sig: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    min_jaccard_pct: int = 70,
+    include_batch_pairs: bool = False,
+    salt_cap: int = 1000,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST A PERSISTED SIGNATURE INDEX — the
+    production shape of MinHash dedup: signatures are computed once per
+    document ever (``minhash_signatures``), stored, and each new crawl
+    batch joins its band rows against the index's instead of re-shingling
+    the whole corpus.
+
+    Inputs are signature relations (id, sh_hashes, minhash) — the batch
+    side fresh, the index side typically read back from storage. Output:
+    (index_id, batch_id, inter, uni) pairs at Jaccard ≥ pct/100, exact-
+    verified over the stored hash arrays, ids that appear in both
+    relations excluded (re-crawled documents are not their own dups).
+
+    ``include_batch_pairs=True`` additionally emits WITHIN-batch pairs as
+    (index_id=min, batch_id=max) rows — a batch containing its own dups
+    must catch them before its survivors join the index. The within-batch
+    leg reuses the triangle-salted self-join.
+
+    Scale: the cross join is keyed by (band, bhash) — co-locate it by
+    storing the index band rows bucketed on bhash (plans/bucketed) and the
+    batch side repartitioned to match; residual hot buckets (a batch doc
+    landing in a viral index cluster) are AQE skew-split (adaptive mode is
+    on in get_spark), and the verify join is id-keyed and exact."""
+    rows = k // bands
+    bb = band_rows(batch_sig, bands, rows)
+    ib = band_rows(index_sig, bands, rows)
+    cand = (
+        ib.select(F.col("id").alias("index_id"), "band", "bhash")
+        .join(bb.select(F.col("id").alias("batch_id"), "band", "bhash"),
+              ["band", "bhash"])
+        .filter(F.col("index_id") != F.col("batch_id"))
+        .select("index_id", "batch_id")
         .distinct()
+    )
+    if include_batch_pairs:
+        within = (_salted_band_candidates(bb, salt_cap)
+                  .select(F.col("id_a").alias("index_id"),
+                          F.col("id_b").alias("batch_id")))
+        cand = cand.union(within).distinct()
+    sa = index_sig.unionByName(batch_sig).dropDuplicates(["id"]).select(
+        F.col("id").alias("index_id"), F.col("sh_hashes").alias("sh_a"))
+    sb = batch_sig.select(
+        F.col("id").alias("batch_id"), F.col("sh_hashes").alias("sh_b"))
+    return (
+        cand.join(sa, "index_id").join(sb, "batch_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .filter(F.col("inter") * 100 >= F.col("uni") * min_jaccard_pct)
+        .select("index_id", "batch_id", "inter", "uni")
     )
 
 
@@ -406,28 +585,8 @@ def minhash_lsh_pairs(
     # sides of the band self-join + the verification joins) and the fused
     # shingle/minhash kernel is the dominant cost. Cached payload is longs,
     # not strings.
-    sh = (
-        with_hashed_shingles_minhash(df, text_col, n, k, seed)
-        .select(F.col(key_col).alias("id"), "sh_hashes", "minhash")
-        .filter(F.size("sh_hashes") > 0)
-        .cache()
-    )
-    mh = sh
-
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(j).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[
-                F.element_at("minhash", j * rows + r + 1).cast("string")
-                for r in range(rows)
-            ])).alias("bhash"),
-        )
-        for j in range(bands)
-    ])
-    exploded = (
-        mh.select("id", F.explode(band_structs).alias("b"))
-        .select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
-    ).cache()
+    sh = minhash_signatures(df, key_col, text_col, n, k, seed).cache()
+    exploded = band_rows(sh, bands, rows).cache()
 
     cand = _salted_band_candidates(exploded, salt_cap)
     # exact verification of candidates over the hash arrays

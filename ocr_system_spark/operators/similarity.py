@@ -153,23 +153,28 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k — the scale path for clustered corpora.
 
-    Centroids are a deterministic corpus sample (every ⌈N/C⌉-th vector by
-    id — at production scale use k-means|| once, offline). Each corpus
-    vector is assigned to its nearest centroid (one matmul per Arrow
-    batch); a query scores ONLY the cells of its ``n_probe`` nearest
-    centroids, so the scan fraction is ~n_probe/n_centroids instead of 1."""
+    ``centroids`` (sequence of vectors) plugs in TRAINED cells — see
+    ``train_ivf_centroids`` for the distributed Lloyd refinement. When
+    omitted, centroids are a deterministic corpus sample (every ⌈N/C⌉-th
+    vector by id — the zero-cost bootstrap). Each corpus vector is
+    assigned to its nearest centroid (one matmul per Arrow batch); a query
+    scores ONLY the cells of its ``n_probe`` nearest centroids, so the
+    scan fraction is ~n_probe/n_centroids instead of 1."""
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
 
-    # deterministic centroid sample, normalized
-    total = emb.count()
-    stride = max(total // n_centroids, 1)
-    cent_rows = (emb.select(id_col, vec_col)
-                 .filter((F.col(id_col) % stride == 0))
-                 .orderBy(id_col).limit(n_centroids).collect())
-    cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    if centroids is None:
+        # deterministic centroid sample
+        total = emb.count()
+        stride = max(total // n_centroids, 1)
+        cent_rows = (emb.select(id_col, vec_col)
+                     .filter((F.col(id_col) % stride == 0))
+                     .orderBy(id_col).limit(n_centroids).collect())
+        centroids = [r[1] for r in cent_rows]
+    cents = np.array(centroids, dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
     # which cells does each query probe?
@@ -199,6 +204,82 @@ def ivf_topk(
                 yield pd.concat(frames, ignore_index=True)
 
     return _rank_scored(_scored_df(emb, run, id_col, vec_col), k)
+
+
+IVF_QUANT_BITS = 20  # centroid-mean quantum: 2^-20 ≈ 1e-6 of vector scale
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_bits: int = IVF_QUANT_BITS,
+) -> List[List[float]]:
+    """Distributed Lloyd refinement of the IVF centroids — the training
+    step ``ivf_topk`` names as its production path.
+
+    Init is the deterministic stride sample (the replayable stand-in for
+    k-means||'s oversampling round — random oversampling can't be replayed
+    by an independent SQL engine, and determinism is what lets the DuckDB
+    oracle recompute training end-to-end). Each iteration is the exact
+    shape a k-means|| refinement runs at scale: one map-only assignment
+    pass with the (tiny) centroid matrix broadcast into the Arrow batches,
+    then one map-side-combined aggregation of per-(cell, dim) sums — the
+    shuffle is ≤ n_centroids·dim rows regardless of corpus size. Only the
+    n_centroids×dim centroid matrix ever reaches the driver.
+
+    Cross-engine exactness: vectors are quantized to 2^-quant_bits before
+    summing (integer sums are order-independent and exact), and each new
+    centroid dim is (sum/count)/2^quant_bits — two IEEE-exact-input
+    divisions, so an independent engine replaying the same arithmetic gets
+    BIT-IDENTICAL centroids (assignment argmax ties broken toward the
+    lower cell on both sides). Cells that lose all members keep their
+    previous centroid."""
+    quant = 1 << quant_bits
+    total = emb.count()
+    stride = max(total // n_centroids, 1)
+    init_rows = (emb.select(id_col, vec_col)
+                 .filter(F.col(id_col) % stride == 0)
+                 .orderBy(id_col).limit(n_centroids).collect())
+    cents = [[float(x) for x in r[1]] for r in init_rows]
+    dim = len(cents[0])
+
+    vq = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.transform(
+            vec_col,
+            lambda x: F.round(x.cast("double") * quant).cast("long")
+        ).alias("q"),
+    )
+
+    def _assign_udf(cn: np.ndarray):
+        @F.pandas_udf("int")
+        def assign(vecs: pd.Series) -> pd.Series:
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(mat @ cn.T, axis=1).astype("int32"),
+                             index=vecs.index)
+        return assign
+
+    for _ in range(iters):
+        cm = np.array(cents, dtype=np.float64)
+        cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        sums = (
+            vq.withColumn("cell", _assign_udf(cn)(F.col("v")))
+            .select("cell", F.posexplode("q").alias("dim", "qv"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()                     # ≤ n_centroids·dim tiny rows
+        )
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault(int(r["cell"]), [None] * dim)[int(r["dim"])] = \
+                (r["s"] / r["c"]) / quant
+        cents = [acc.get(c, cents[c]) for c in range(n_centroids)]
+    return cents
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 424242) -> List[List[float]]:
@@ -286,7 +367,7 @@ def lsh_topk(
     )
 
 
-def cosine_dup_pairs(
+def cosine_dup_pairs_lsh(
     emb: DataFrame,
     min_cosine: float = 0.95,
     id_col: str = "vec_id",
@@ -331,6 +412,13 @@ def cosine_dup_pairs(
         .filter(F.col("score") >= min_cosine)
         .select("id_a", "id_b")
     )
+
+
+# Compatibility alias: ``cosine_dup_pairs`` was the round-1 name of the
+# exact form and the round-2 name of the LSH form — the approximate
+# semantics are now EXPLICIT in the name. The alias stays so existing
+# callers keep working, but new code should pick `_lsh` or `_exact`.
+cosine_dup_pairs = cosine_dup_pairs_lsh
 
 
 def cosine_dup_pairs_exact(

@@ -1,0 +1,98 @@
+"""URL canonicalization + URL-keyed dedup.
+
+Real crawl corpora hit URL aliasing on day one: the same page reachable as
+``HTTP://Example.COM:80/a/b/?utm_source=feed`` and ``http://example.com/a/b``.
+The reference pipeline (MokshaDill/OCR-System) keys work by exact filename /
+url string (``main.pyw`` folder scan), so aliased fetches double-count; this
+module adds the normalize step a web-scale corpus needs before url-keyed
+dedup, resume manifests, or metrics.
+
+Everything is a pure JVM expression chain (``substr``/``instr``/``split``/
+``regexp_replace`` — whole-stage-codegen friendly, zero Python), and every
+regex stays inside the RE2-safe subset (same rule as ``operators/scrub.py``)
+so an independent SQL engine replays it exactly.
+
+Canonical form (documented, deliberately minimal and deterministic):
+  * scheme and host lowercased;
+  * default ports dropped (``:80`` for http, ``:443`` for https); other
+    ports kept;
+  * fragment (``#...``) dropped;
+  * tracking query params dropped (``utm_*``, ``gclid``, ``fbclid``,
+    ``ref``), remaining params kept IN ORDER (param reordering is a
+    semantic change for some sites, so we do not sort);
+  * empty path becomes ``/``; a single trailing slash on a non-root path
+    is stripped;
+  * inputs without ``://`` are passed through trimmed (not URLs we claim
+    to understand — never silently mangled).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["TRACKING_PARAM_RE", "canonicalize_url", "url_dedup_groups",
+           "url_dedup"]
+
+# anchored, RE2-safe (no lookarounds/backrefs) — replayable in DuckDB
+TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|ref)="
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL string per the module-docstring rules. Pure JVM
+    expression tree — no UDF, no shuffle, codegen-friendly."""
+    u = F.trim(col)
+    p3 = F.instr(u, "://")
+    scheme = F.lower(F.substr(u, F.lit(1), p3 - 1))
+    rest = F.substring_index(F.substr(u, p3 + 3), "#", 1)  # drop fragment
+    slash = F.instr(rest, "/")
+    hostport = F.when(slash > 0, F.substr(rest, F.lit(1), slash - 1)) \
+                .otherwise(rest)
+    pathq = F.when(slash > 0, F.substr(rest, slash)).otherwise(F.lit(""))
+    colon = F.instr(hostport, ":")
+    host = F.lower(
+        F.when(colon > 0, F.substr(hostport, F.lit(1), colon - 1))
+        .otherwise(hostport))
+    port = F.when(colon > 0, F.substr(hostport, colon + 1)).otherwise(F.lit(""))
+    port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit("")).otherwise(port)
+    qm = F.instr(pathq, "?")
+    path = F.when(qm > 0, F.substr(pathq, F.lit(1), qm - 1)).otherwise(pathq)
+    qs = F.when(qm > 0, F.substr(pathq, qm + 1)).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda x: (x != "") & (~x.rlike(TRACKING_PARAM_RE)))
+    qs2 = F.array_join(params, "&")
+    path2 = (F.when(path == "", F.lit("/"))
+             .when(path == "/", F.lit("/"))
+             .otherwise(F.regexp_replace(path, "/$", "")))
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path2,
+        F.when(qs2 != "", F.concat(F.lit("?"), qs2)).otherwise(F.lit("")))
+    # not an absolute URL we understand → pass through trimmed
+    return F.when(p3 > 0, canon).otherwise(u)
+
+
+def url_dedup_groups(df: DataFrame, url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Alias groups under canonicalization: one row per canonical URL with
+    the copy count and the kept (minimum) id — the url analog of
+    ``exact_dedup_groups``. One shuffle, keyed by the canonical string."""
+    return (
+        df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.min(id_col).alias("keep_id"))
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per canonical URL (the minimum id — stable,
+    engine-independent). Same single shuffle as ``url_dedup_groups``."""
+    canon = df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+    keep = (canon.groupBy("canon_url")
+            .agg(F.min(id_col).alias(id_col)))
+    return canon.join(keep, ["canon_url", id_col])

@@ -1,0 +1,251 @@
+"""Round-3 operators: span-level dedup, URL canonicalization, incremental
+MinHash dedup against a persisted index, trained IVF centroids, the
+salted-ngram path, and the n>6 shingle fix."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_system_spark.operators import dedup, similarity
+from ocr_system_spark.operators.spans import dup_span_doc_mass, duplicate_spans
+from ocr_system_spark.operators.urls import (canonicalize_url, url_dedup,
+                                             url_dedup_groups)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return d.select("doc_id", "text", "lang").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# duplicate spans
+# ---------------------------------------------------------------------------
+
+PASSAGE = "zq8xk3vw9p zq8xk3vw9p unmistakable shared forensic passage 7f2a9c"
+
+
+def _span_df(spark):
+    rows = [
+        (1, "alpha beta gamma " + PASSAGE + " delta epsilon zeta"),
+        (2, "totally different start " + PASSAGE + " and different end"),
+        (3, "nothing in common with either document plain boring filler"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_finds_planted_passage(spark):
+    out = duplicate_spans(_span_df(spark)).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)  # doc 3 shares nothing
+    # a shared passage yields a RUN of matches, not a single hit
+    assert len(out) >= 3
+
+
+def test_duplicate_spans_guard_drops_boilerplate(spark):
+    # the same passage in 12 docs > max_group=8 → its fps (present in all
+    # 12 docs) are dropped; only incidental ≤8-doc boundary grams survive
+    rows = [(i, f"doc {i} unique words here " + PASSAGE) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = duplicate_spans(df, max_group=8).count()
+    unguarded = duplicate_spans(df, max_group=20).count()
+    # 12-doc passage fps alone contribute ≥ C(12,2)·passage_fps ≫ 100 rows
+    assert unguarded > 100
+    assert guarded < 10, (guarded, unguarded)
+
+
+def test_dup_span_doc_mass_counts(spark):
+    out = {r["id"]: r for r in dup_span_doc_mass(_span_df(spark)).collect()}
+    assert out[1]["n_dup_fps"] > 0 and out[2]["n_dup_fps"] > 0
+    assert out[3]["n_dup_fps"] == 0
+    assert out[3]["n_fps"] > 0
+    assert out[1]["n_dup_fps"] <= out[1]["n_fps"]
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("raw,canon", [
+    ("HTTP://Example.COM:80/a/b/?utm_source=f&x=1", "http://example.com/a/b?x=1"),
+    ("http://example.com/a/b?x=1", "http://example.com/a/b?x=1"),
+    ("https://Sub.Example.com:443/p/7/", "https://sub.example.com/p/7"),
+    ("https://sub.example.com/p/7#frag", "https://sub.example.com/p/7"),
+    ("http://example.com:8080/q?gclid=z&utm_campaign=c", "http://example.com:8080/q"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/?fbclid=a&ref=t&keep=1&utm_x=9", "http://example.com/?keep=1"),
+    ("  http://example.com/x  ", "http://example.com/x"),
+    ("not a url at all", "not a url at all"),          # passthrough
+    ("HTTPS://HOST.example/CaseSensitive/Path", "https://host.example/CaseSensitive/Path"),
+])
+def test_canonicalize_url_cases(spark, raw, canon):
+    got = (spark.createDataFrame([(raw,)], "url string")
+           .select(canonicalize_url(F.col("url")).alias("c"))
+           .collect()[0]["c"])
+    assert got == canon, (raw, got, canon)
+
+
+def test_url_dedup_keeps_min_id_per_canon(spark):
+    rows = [
+        (1, "http://example.com/a"),
+        (2, "HTTP://EXAMPLE.com:80/a/"),
+        (3, "http://example.com/a?utm_source=x"),
+        (4, "http://example.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = url_dedup(df).collect()
+    assert {r.doc_id for r in kept} == {1, 4}
+    groups = {r.canon_url: r for r in url_dedup_groups(df).collect()}
+    assert groups["http://example.com/a"]["n_copies"] == 3
+    assert groups["http://example.com/a"]["keep_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash dedup
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_finds_batch_vs_index_pairs(spark, docs):
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 2, F.size(words) - 1), " ").alias("text"))
+    idx_sig = dedup.minhash_signatures(docs, "doc_id").cache()
+    b_sig = dedup.minhash_signatures(batch, "doc_id").cache()
+    pairs = dedup.incremental_minhash_pairs(b_sig, idx_sig).collect()
+    got = {(r.index_id, r.batch_id) for r in pairs}
+    # every batch doc is a near-dup of its source (minus pathologically
+    # short docs that fall under the Jaccard threshold)
+    expect = {(r.doc_id, r.doc_id + 100000)
+              for r in docs.filter(F.col("doc_id") % 5 == 0).collect()}
+    assert len(got & expect) >= 0.8 * len(expect)
+    # and the result agrees with the from-scratch full-corpus run
+    full = dedup.minhash_lsh_pairs(
+        docs.select("doc_id", "text").union(batch), "doc_id",
+        min_jaccard_pct=70)
+    full_cross = {(r.id_a, r.id_b) for r in full.collect()
+                  if (r.id_a < 100000) != (r.id_b < 100000)}
+    assert got == full_cross
+
+
+def test_incremental_dedup_within_batch_flag(spark, docs):
+    two = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text").union(
+        docs.limit(1).select(F.lit(900002).alias("doc_id"), "text"))
+    idx_sig = dedup.minhash_signatures(docs, "doc_id")
+    b_sig = dedup.minhash_signatures(two, "doc_id")
+    without = dedup.incremental_minhash_pairs(b_sig, idx_sig)
+    with_flag = dedup.incremental_minhash_pairs(
+        b_sig, idx_sig, include_batch_pairs=True)
+    w = {(r.index_id, r.batch_id) for r in with_flag.collect()}
+    wo = {(r.index_id, r.batch_id) for r in without.collect()}
+    assert (900001, 900002) in w - wo          # identical pair, batch-internal
+
+
+def test_incremental_dedup_recrawl_not_self_pair(spark, docs):
+    """A doc present in BOTH index and batch (same id — a re-crawl) must
+    not be reported as its own duplicate."""
+    sig = dedup.minhash_signatures(docs.limit(5), "doc_id")
+    out = dedup.incremental_minhash_pairs(sig, sig)
+    assert out.filter(F.col("index_id") == F.col("batch_id")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# trained IVF centroids
+# ---------------------------------------------------------------------------
+
+def test_train_ivf_centroids_deterministic(spark, emb):
+    c1 = similarity.train_ivf_centroids(emb, n_centroids=8, iters=2)
+    c2 = similarity.train_ivf_centroids(emb, n_centroids=8, iters=2)
+    assert c1 == c2                            # bit-identical across runs
+    assert len(c1) == 8 and len(c1[0]) == 64
+
+
+def _recall(topk_df, truth):
+    got = {(r.query_id, r.neighbor_id) for r in topk_df.collect()}
+    return len(got & truth) / len(truth)
+
+
+def test_trained_centroids_recall_at_least_stride(spark, emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    stride = _recall(similarity.ivf_topk(emb, q, k=5, n_centroids=8,
+                                         n_probe=3), truth)
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8, iters=2)
+    trained = _recall(similarity.ivf_topk(emb, q, k=5, n_probe=3,
+                                          centroids=cents), truth)
+    assert trained >= stride - 0.05, (trained, stride)
+
+
+# ---------------------------------------------------------------------------
+# salted ngram path + shingle n>6
+# ---------------------------------------------------------------------------
+
+def test_ngram_salted_matches_unsalted(spark, docs):
+    both = dedup.with_near_dup_copies(docs, "doc_id")
+    base = {(r.id_a, r.id_b, r.inter, r.uni)
+            for r in dedup.ngram_jaccard_pairs(
+                both, "doc_id", block_col="lang").collect()}
+    salted = {(r.id_a, r.id_b, r.inter, r.uni)
+              for r in dedup.ngram_jaccard_pairs(
+                  both, "doc_id", block_col="lang", salt_cap=2).collect()}
+    assert base == salted and base
+
+
+def test_ngram_hot_group_under_cap_is_salted_losslessly(spark):
+    """A shingle group just UNDER max_group (the round-2 residual hazard)
+    goes through the triangle salt and still yields every pair."""
+    g = 30
+    shared = "frequent boilerplate trigram"
+    rows = [(i, f"{shared} unique{i} tail{i} word{i} extra{i}") for i in range(g)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", min_jaccard_pct=1,
+                                      max_group=100, salt_cap=5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == set(combinations(range(g), 2))
+    # every pair shares exactly the one boilerplate trigram
+    assert {r.inter for r in pairs.collect()} == {1}
+
+
+def test_hashed_shingles_n_gt_6(spark):
+    """n beyond the six seeded multipliers used to raise IndexError."""
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    out = dedup.with_hashed_shingles(df, "text", n=8).collect()[0]
+    assert len(out["sh_hashes"]) == 3          # 10 words → 3 distinct 8-grams
+    # the first six multipliers are unchanged (hash stability for n ≤ 6)
+    assert dedup._mix_for(6).tolist() == dedup._MIX.tolist()
+    assert dedup._mix_for(9)[:6].tolist() == dedup._MIX.tolist()
+    assert all(m % 2 == 1 for m in dedup._mix_for(9).tolist())
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile sketch path (the at-scale swap named in `quantiles`)
+# ---------------------------------------------------------------------------
+
+def test_approx_percentile_within_documented_tolerance(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, array(0.5, 0.9))").alias("p"))
+    approx = docs.groupBy("lang").agg(
+        F.expr("approx_percentile(n_chars, array(0.5, 0.9), 1000)").alias("p"))
+    e = {r["lang"]: r["p"] for r in exact.collect()}
+    a = {r["lang"]: r["p"] for r in approx.collect()}
+    assert set(e) == set(a)
+    for lang in e:
+        for ev, av in zip(e[lang], a[lang]):
+            # accuracy parameter 1000 → rank error ≤ n/1000; with n ≪ 1000
+            # per lang the sketch is exact up to interpolation (exact
+            # percentile interpolates, the sketch returns a data point),
+            # so the value can differ by at most one observation's gap
+            assert abs(ev - av) <= max(0.15 * ev, 30.0), (lang, ev, av)
