@@ -1761,7 +1761,7 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(list_distinct(list_transform(
                          range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
                     END AS BIGINT) AS distinct_bigrams
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM (SELECT doc_id, regexp_extract_all(text, '[^\t\n\f\r ]+') AS w
               FROM documents)
     """
 
@@ -1781,8 +1781,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(w, x -> list_contains([{_stops}],
                         lower(x)))) AS BIGINT) AS n_stop_hits
             FROM (SELECT doc_id,
-                         list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                     x -> x != '') AS w
+                         regexp_extract_all(text, '[^\t\n\f\r ]+') AS w
                   FROM documents))
     """
 
@@ -1841,8 +1840,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(list_filter(w, x -> list_contains([{_stops}],
                             lower(x)))) AS BIGINT) AS n_stop_hits
                 FROM (SELECT id,
-                             list_filter(regexp_split_to_array(trim(t), '\\s+'),
-                                         x -> x != '') AS w
+                             regexp_extract_all(t, '[^\t\n\f\r ]+') AS w
                       FROM base)))
         SELECT g.doc_id, g.n_words, g.n_stop_hits
         FROM g JOIN comp ON g.doc_id = comp.id

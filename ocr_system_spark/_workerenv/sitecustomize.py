@@ -20,18 +20,69 @@ This file is loaded by the ``site`` module at worker-interpreter startup
 because ocr_system_spark.session.get_spark puts this directory on
 ``spark.executorEnv.PYTHONPATH`` (cluster equivalent:
 ``--conf spark.executorEnv.PYTHONPATH=.../ocr_system_spark/_workerenv``).
-It runs once per worker process, before pyspark imports.
+
+Two containment rules (PYTHONPATH is process-global, so ANY later Python
+subprocess of the driver environment would otherwise load this file too):
+
+* the patch applies ONLY inside pyspark worker/daemon interpreters —
+  detected by the env vars Spark's PythonWorkerFactory sets for exactly
+  these processes (``PYTHON_WORKER_FACTORY_SECRET`` / ``_PORT``, or the
+  legacy ``SPARK_REUSE_WORKER``/``PYSPARK_WORKER`` markers). A plain
+  ``python`` subprocess spawned from the same environment keeps stock
+  zipimport behavior.
+* being first on sys.path, this file SHADOWS any deployment sitecustomize;
+  after running (patched or not) it locates the next ``sitecustomize.py``
+  further along sys.path and executes it, so an existing one still runs.
 
 Escape hatch: set OCR_SPARK_KEEP_ZIPIMPORT_INVALIDATION=1 (e.g. via
-spark.executorEnv) to leave stdlib behavior untouched. Note that ``site``
-imports only the FIRST sitecustomize on sys.path — if your deployment
-already ships one, fold this patch into it instead of shadowing it.
+spark.executorEnv) to leave stdlib behavior untouched.
 """
 
 import os
+import sys
 
-if not os.environ.get("OCR_SPARK_KEEP_ZIPIMPORT_INVALIDATION"):
+_WORKER_MARKERS = (
+    "PYTHON_WORKER_FACTORY_SECRET",   # Spark 3.4+ worker/daemon launch
+    "PYTHON_WORKER_FACTORY_PORT",
+    "SPARK_REUSE_WORKER",
+    "PYSPARK_WORKER",
+)
+
+
+def _in_pyspark_worker() -> bool:
+    return any(m in os.environ for m in _WORKER_MARKERS)
+
+
+if (_in_pyspark_worker()
+        and not os.environ.get("OCR_SPARK_KEEP_ZIPIMPORT_INVALIDATION")):
     import zipimport
 
     zipimport.zipimporter.invalidate_caches = (  # type: ignore[method-assign]
         lambda self: None)
+
+
+def _chain_next_sitecustomize() -> None:
+    """Run the sitecustomize this file shadows (site imports only the FIRST
+    one found on sys.path). Errors in the chained file are swallowed — a
+    broken deployment hook must not take down every Spark worker."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sys.path:
+        try:
+            base = os.path.abspath(p or ".")
+            if base == here:
+                continue
+            cand = os.path.join(base, "sitecustomize.py")
+            if os.path.isfile(cand):
+                import importlib.util
+
+                spec = importlib.util.spec_from_file_location(
+                    "sitecustomize_chained", cand)
+                if spec and spec.loader:
+                    mod = importlib.util.module_from_spec(spec)
+                    spec.loader.exec_module(mod)
+                return
+        except Exception:
+            return
+
+
+_chain_next_sitecustomize()

@@ -2,12 +2,22 @@
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ocr_system_spark.functions import textstats as K
+
+# Tokens are runs of non-ASCII-whitespace — the SAME pinned alphabet as the
+# SimHash kernel (operators/dedup._SIMHASH_TOKEN_RE) and the winnowing
+# normalizer, so Python, Spark SQL, and RE2-based engines all see the
+# identical token stream. Python str.split() would additionally split on
+# NBSP / U+2028 / \x1c-\x1f, silently breaking cross-engine parity on
+# documents containing non-ASCII whitespace.
+_TOKEN_RE = re.compile(r"[^\t\n\f\r ]+")
 
 
 def with_langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
@@ -64,7 +74,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     def udf(texts: pd.Series) -> pd.DataFrame:
         tot, dis = [], []
         for t in texts.tolist():
-            w = (t or "").split()
+            w = _TOKEN_RE.findall(t or "")
             n = max(len(w) - 1, 0)
             tot.append(n)
             dis.append(len({(w[i], w[i + 1]) for i in range(n)}) if n else 0)
@@ -96,7 +106,7 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
     def udf(texts: pd.Series) -> pd.DataFrame:
         nw, nc, ns = [], [], []
         for t in texts.tolist():
-            w = (t or "").split()
+            w = _TOKEN_RE.findall(t or "")
             nw.append(len(w))
             nc.append(sum(len(x) for x in w))
             ns.append(sum(1 for x in w if x.lower() in GOPHER_STOPS))

@@ -46,6 +46,26 @@ def append_csv(results: DataFrame, path: str) -> None:
 
 _XLSX_MAX_ROWS = 1_048_576  # the sheet format's hard row limit
 
+# saxutils.escape handles &<> only; attribute values also need the quote
+# char escaped or a sheet name containing '"' corrupts workbook.xml
+_XML_ATTR_ESCAPES = {'"': "&quot;"}
+
+# Excel's own sheet-name rules: non-empty, ≤31 chars, none of []:*?/\
+_SHEET_FORBIDDEN = set('[]:*?/\\')
+
+
+def _validate_sheet_name(name: str) -> str:
+    """Reject names Excel itself refuses (it rejects the whole workbook,
+    not just the name) rather than writing a file that won't open."""
+    if not name or len(name) > 31:
+        raise ValueError(
+            f"xlsx sheet name must be 1-31 characters, got {len(name)}")
+    bad = _SHEET_FORBIDDEN & set(name)
+    if bad:
+        raise ValueError(
+            f"xlsx sheet name may not contain {''.join(sorted(bad))!r}")
+    return name
+
 
 def _col_letter(i: int) -> str:
     s = ""
@@ -83,6 +103,7 @@ def export_xlsx(results: DataFrame, path: str, sheet_name: str = "Results",
     Driver-side by design: the reference exports its per-job field report,
     not a corpus. ``max_rows`` guards the collect (hard format limit is
     1,048,575 data rows). Returns the number of data rows written."""
+    sheet_name = _validate_sheet_name(sheet_name)
     df = results.drop("spans") if "spans" in results.columns else results
     rows = df.limit(min(max_rows, _XLSX_MAX_ROWS - 1) + 1).collect()
     if len(rows) > min(max_rows, _XLSX_MAX_ROWS - 1):
@@ -109,7 +130,8 @@ def export_xlsx(results: DataFrame, path: str, sheet_name: str = "Results",
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        f'<sheets><sheet name="{escape(sheet_name, _XML_ATTR_ESCAPES)}"'
+        ' sheetId="1" r:id="rId1"/></sheets>'
         '</workbook>'
     )
     wb_rels = (
