@@ -158,6 +158,60 @@ def test_incremental_dedup_recrawl_not_self_pair(spark, docs):
     assert out.filter(F.col("index_id") == F.col("batch_id")).count() == 0
 
 
+def test_incremental_dedup_two_phase_with_persisted_index(spark, docs, tmp_path):
+    """The production loop: (1) build the signature index as a BUCKETED
+    catalog table, (2) dedup an incoming batch against the stored index,
+    (3) append the batch's non-duplicate survivors exactly once, (4) the
+    grown index agrees with a from-scratch full-corpus run."""
+    from ocr_system_spark.plans.bucketed import write_bucketed
+
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 2, F.size(words) - 1), " ").alias("text")
+    ).union(
+        # genuinely-new content: reversed word order breaks all shingles
+        docs.filter(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(F.reverse(words), " ").alias("text"))
+    )
+
+    # phase 1: persist the index signatures bucketed by id (the layout the
+    # verify join keys on)
+    spark.sql("DROP TABLE IF EXISTS mh_index_sig")
+    idx_sig = dedup.minhash_signatures(docs, "doc_id")
+    write_bucketed(idx_sig, "mh_index_sig", "id", n_buckets=8)
+
+    # phase 2: dedup the batch against the STORED index
+    stored = spark.table("mh_index_sig")
+    b_sig = dedup.minhash_signatures(batch, "doc_id").cache()
+    pairs = dedup.incremental_minhash_pairs(b_sig, stored)
+    dup_batch_ids = {r.batch_id for r in pairs.select("batch_id").collect()}
+    assert dup_batch_ids and all(i < 200000 for i in dup_batch_ids)
+
+    # phase 3: append only the survivors — rerunning the append is a no-op
+    # because the survivor set is computed against the already-grown index
+    survivors = b_sig.join(
+        spark.createDataFrame([(i,) for i in sorted(dup_batch_ids)], "id long"),
+        "id", "left_anti")
+    survivors.write.mode("append").format("parquet") \
+        .insertInto("mh_index_sig")
+    grown = spark.table("mh_index_sig")
+    assert grown.count() == idx_sig.count() + survivors.count()
+    again = dedup.incremental_minhash_pairs(b_sig, grown)
+    # every batch doc now present in the index is excluded as a self-pair,
+    # so the rerun reports the same foreign duplicates only
+    assert {(r.index_id, r.batch_id) for r in again.collect()} \
+        == {(r.index_id, r.batch_id) for r in pairs.collect()}
+
+    # phase 4: the grown index equals the from-scratch answer
+    scratch = dedup.minhash_signatures(
+        docs.select("doc_id", "text").union(batch), "doc_id")
+    s = {r.id for r in scratch.collect()} - {i for i in dup_batch_ids}
+    g = {r.id for r in grown.collect()}
+    assert g == s
+
+
 # ---------------------------------------------------------------------------
 # trained IVF centroids
 # ---------------------------------------------------------------------------
