@@ -151,3 +151,23 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set(thresh_key, prev_thresh)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_url_canon_dedup_is_pure_jvm_single_shuffle(spark):
+    """URL canonicalization must stay a JVM expression chain: no Python
+    eval node anywhere, scan pruned to doc_id (the url is synthesized),
+    and exactly the one groupBy shuffle (partial + final agg pair)."""
+    df = entry.queries()["url_canon_dedup"](spark, SF)
+    p = plan_of(df)
+    assert "Python" not in p, p
+    assert "ReadSchema: struct<doc_id:bigint>" in p, p
+    assert p.count("Exchange") <= 2, p
+
+
+def test_dup_spans_joins_are_keyed_never_cartesian(spark):
+    """The fp self-join must compile to hash/sort-merge joins keyed by the
+    fingerprint — a nested-loop here is quadratic corpus death."""
+    df = entry.queries()["dup_spans"](spark, SF)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
