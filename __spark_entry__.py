@@ -871,6 +871,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_span_mass"] = q_dup_span_mass
 
+    def q_dup_span_removal(spark, sf_dir):
+        """The curation transform: cut every cross-document duplicated
+        span (merged winnow-match intervals) out of the normalized text.
+        Pure JVM gaps-and-islands + string surgery; the oracle replays
+        normalization, fingerprints, guard, matches, interval merge, and
+        the substring reassembly — byte-identical clean_text."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.spans import remove_duplicate_spans
+        return remove_duplicate_spans(_docs_with_planted_passages(spark, sf_dir))
+
+    q["dup_span_removal"] = q_dup_span_removal
+
     def q_url_canon_dedup(spark, sf_dir):
         """URL canonicalization + alias-group dedup over deterministic
         messy URLs (case/default-port/tracking-param/trailing-slash/
@@ -1607,6 +1619,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id AS id_a, a.pos AS pos_a,
                b.doc_id AS id_b, b.pos AS pos_b, a.fp AS fp
         FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    """
+
+    o["dup_span_removal"] = f"""
+        WITH {_PLANTED_SRC},
+        {_winnow_fps_cte('src')},
+        ok AS (SELECT fp FROM fps GROUP BY fp
+               HAVING count(DISTINCT doc_id) <= 8),
+        g AS (SELECT f.doc_id, f.pos, f.fp FROM fps f JOIN ok USING (fp)),
+        m AS (
+            SELECT a.doc_id AS id_a, a.pos AS pos_a,
+                   b.doc_id AS id_b, b.pos AS pos_b
+            FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        hits AS (
+            SELECT DISTINCT id, pos FROM (
+                SELECT id_a AS id, pos_a AS pos FROM m
+                UNION ALL SELECT id_b, pos_b FROM m)),
+        flagged AS (
+            SELECT id, pos,
+                   CASE WHEN max(pos + 8) OVER (
+                            PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                        OR pos > max(pos + 8) OVER (
+                            PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS f
+            FROM hits),
+        isl0 AS (
+            SELECT id, pos,
+                   sum(f) OVER (PARTITION BY id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS isl
+            FROM flagged),
+        islands AS (
+            SELECT id, isl, min(pos) AS s, max(pos) + 8 AS e
+            FROM isl0 GROUP BY id, isl),
+        segs AS (
+            SELECT id, s, e,
+                   coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 0) AS p_e
+            FROM islands),
+        normdoc AS (SELECT doc_id AS id, t FROM norm),
+        pieces AS (
+            SELECT segs.id,
+                   string_agg(substr(t, CAST(p_e + 1 AS INTEGER),
+                                     CAST(s - p_e AS INTEGER)),
+                              '' ORDER BY s) AS head,
+                   max(e) AS last_e
+            FROM segs JOIN normdoc USING (id)
+            GROUP BY segs.id),
+        cleaned AS (
+            SELECT n.id,
+                   CASE WHEN p.id IS NULL THEN n.t
+                        ELSE p.head || substr(n.t, CAST(p.last_e + 1 AS INTEGER))
+                   END AS clean_text,
+                   n.t
+            FROM normdoc n LEFT JOIN pieces p ON n.id = p.id)
+        SELECT id, clean_text,
+               CAST(length(t) - length(clean_text) AS BIGINT) AS n_removed
+        FROM cleaned
     """
 
     o["dup_span_mass"] = f"""

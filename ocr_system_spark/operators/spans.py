@@ -23,19 +23,34 @@ Scale shape (the 100 TB argument):
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .textstats import winnow_fingerprints
 
-__all__ = ["duplicate_spans", "dup_span_doc_mass"]
+__all__ = ["duplicate_spans", "dup_span_doc_mass", "remove_duplicate_spans",
+           "winnow_normalize_col"]
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def winnow_normalize_col(c: Column) -> Column:
+    """JVM mirror of functions.textstats.winnow_normalize (ASCII-only
+    lowercase, ASCII-whitespace collapse, space trim) — the coordinate
+    system every winnow ``pos`` refers to."""
+    return F.trim(F.regexp_replace(
+        F.translate(c, _UPPER, _LOWER), "[\t\n\f\r ]+", " "))
 
 
 def _guarded_fps(df: DataFrame, id_col: str, text_col: str, k: int,
                  window: int, max_group: int) -> DataFrame:
     """Winnowing fingerprints with the boilerplate guard applied: rows
     (id, pos, fp) restricted to fps seen in ≤ ``max_group`` distinct docs."""
+    # cached: read twice (guard aggregate + the join back) — one kernel
+    # run instead of two, and downstream consumers (duplicate_spans' two
+    # sides, remove_duplicate_spans' reuse) hit the same cache
     fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col,
-                              k=k, window=window)
+                              k=k, window=window).cache()
     ok = (fps.groupBy("fp")
           .agg(F.count_distinct(id_col).alias("n_docs"))
           .filter(F.col("n_docs") <= max_group)
@@ -78,6 +93,88 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    max_group: int = 8,
+) -> DataFrame:
+    """Excise every cross-document duplicated span from each document —
+    the curation transform built on ``duplicate_spans``: matched k-gram
+    positions are merged into intervals [pos, pos+k) and cut out of the
+    NORMALIZED text (the winnowing coordinate system; returned as-is for
+    unaffected documents).
+
+    Output: (id, clean_text, n_removed) — n_removed is the exact integer
+    character count cut, so downstream thresholds stay float-free.
+
+    Fully JVM-side: interval merging is the classic gaps-and-islands
+    window computation (same shape as streaming/sessionize), string
+    surgery is substr/concat over the island boundaries — no Python in
+    the plan, and the DuckDB oracle replays every step. Scale shape: one
+    window per doc over its (few) matched positions, one aggregation —
+    the heavy lifting stays in ``duplicate_spans``' bounded fp join.
+    """
+    spans = duplicate_spans(df, id_col, text_col, k, window, max_group)
+    # cached: hits feeds the island windows AND the untouched anti-join;
+    # norm feeds pieces, untouched, and the final length bookkeeping
+    hits = (
+        spans.select(F.col("id_a").alias("id"), F.col("pos_a").alias("pos"))
+        .union(spans.select(F.col("id_b").alias("id"),
+                            F.col("pos_b").alias("pos")))
+        .distinct()
+        .cache()
+    )
+    norm = df.select(F.col(id_col).alias("id"),
+                     winnow_normalize_col(F.col(text_col)).alias("t")).cache()
+
+    wk = W.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        wk.rowsBetween(W.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "f", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+              .otherwise(0))
+    islands = (
+        flagged.withColumn(
+            "isl", F.sum("f").over(wk.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("id", "isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+    )
+    wi = W.partitionBy("id").orderBy("s")
+    segs = islands.withColumn(
+        "p_e", F.coalesce(F.lag("e").over(wi), F.lit(0)))
+    pieces = (
+        segs.join(norm, "id")
+        .withColumn("piece", F.substr("t", F.col("p_e") + 1,
+                                      F.col("s") - F.col("p_e")))
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "piece"))),
+                    lambda x: x["piece"]),
+                "").alias("head"),
+            F.max("e").alias("last_e"),
+            F.first("t").alias("t"),
+        )
+        .select("id",
+                F.concat("head",
+                         F.substr("t", F.col("last_e") + 1)).alias("clean_text"))
+    )
+    untouched = (
+        norm.join(hits.select("id").distinct(), "id", "left_anti")
+        .select("id", F.col("t").alias("clean_text"))
+    )
+    return (
+        pieces.unionByName(untouched)
+        .join(norm, "id")
+        .select("id", "clean_text",
+                (F.length("t") - F.length("clean_text")).alias("n_removed"))
+    )
+
+
 def dup_span_doc_mass(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -102,8 +199,9 @@ def dup_span_doc_mass(
     fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col,
                               k=k, window=window)
     # distinct (id, fp): a fp repeated inside one doc is not cross-doc
-    # evidence, and distinct rows make n_docs a document count
-    dfp = fps.select(F.col(id_col).alias("id"), "fp").distinct()
+    # evidence, and distinct rows make n_docs a document count. Cached:
+    # read by the per-fp count and the join back.
+    dfp = fps.select(F.col(id_col).alias("id"), "fp").distinct().cache()
     counts = (dfp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")))
     return (
         dfp.join(counts, "fp")

@@ -5,6 +5,7 @@ salted-ngram path, and the n>6 shingle fix."""
 from __future__ import annotations
 
 from itertools import combinations
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -62,6 +63,37 @@ def test_duplicate_spans_guard_drops_boilerplate(spark):
     # 12-doc passage fps alone contribute ≥ C(12,2)·passage_fps ≫ 100 rows
     assert unguarded > 100
     assert guarded < 10, (guarded, unguarded)
+
+
+def test_remove_duplicate_spans_excises_shared_passage(spark):
+    from ocr_system_spark.operators.spans import remove_duplicate_spans
+    out = {r["id"]: r
+           for r in remove_duplicate_spans(_span_df(spark)).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta"
+    assert "zq8xk3vw9p" not in out[2]["clean_text"]
+    assert "different" in out[2]["clean_text"]      # non-shared text intact
+    # untouched doc passes through as its normalized self, zero removed
+    assert out[3]["clean_text"] == \
+        "nothing in common with either document plain boring filler"
+    assert out[3]["n_removed"] == 0
+    assert out[1]["n_removed"] > 0
+    # exact bookkeeping: removed = norm length - clean length
+    for r in out.values():
+        assert r["n_removed"] >= 0
+
+
+def test_remove_duplicate_spans_plan_is_jvm_only(spark):
+    """The removal transform itself adds no Python to the plan — the only
+    Python stage is the winnowing kernel inside duplicate_spans."""
+    from ocr_system_spark.operators.spans import remove_duplicate_spans
+    df = remove_duplicate_spans(_span_df(spark))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    # no row-at-a-time Python anywhere; the only Python stage is the
+    # Arrow-batched fingerprint kernel, computed ONCE behind the caches
+    # (every reuse reads InMemoryTableScan, not a fresh kernel run)
+    assert "BatchEvalPython" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
 
 
 def test_dup_span_doc_mass_counts(spark):
@@ -177,8 +209,14 @@ def test_incremental_dedup_two_phase_with_persisted_index(spark, docs, tmp_path)
     )
 
     # phase 1: persist the index signatures bucketed by id (the layout the
-    # verify join keys on)
+    # verify join keys on). Drop catalog entry AND any orphaned location —
+    # the session-local catalog forgets tables across sessions while the
+    # warehouse directory persists.
+    import shutil
+    from urllib.parse import urlparse
     spark.sql("DROP TABLE IF EXISTS mh_index_sig")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(Path(wh) / "mh_index_sig", ignore_errors=True)
     idx_sig = dedup.minhash_signatures(docs, "doc_id")
     write_bucketed(idx_sig, "mh_index_sig", "id", n_buckets=8)
 
