@@ -939,6 +939,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_train_topk"] = q_ivf_train_topk
 
+    def q_doc_chunks(spark, sf_dir):
+        """Token-window chunking (16-token windows, stride 12) — the
+        curation→tokenization bridge. Pure JVM sequence/slice expression
+        tree; the oracle replays windows with DuckDB list slicing."""
+        from ocr_system_spark.operators.chunking import chunk_documents
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return chunk_documents(d, chunk_tokens=16, stride=12)
+
+    q["doc_chunks"] = q_doc_chunks
+
+    def q_top_terms(spark, sf_dir):
+        """Per-doc top-3 salient terms, integer-ranked (tf desc, corpus
+        doc-frequency asc, term asc) — float-free tf-idf ordering."""
+        from ocr_system_spark.operators.textstats import top_terms_by_tf
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return top_terms_by_tf(d, k=3)
+
+    q["top_terms"] = q_top_terms
+
     return q
 
 
@@ -1545,6 +1564,48 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["fingerprint_md5"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+    o["doc_chunks"] = """
+        WITH w0 AS (
+            SELECT doc_id AS id,
+                   regexp_extract_all(text, '[^\t\n\f\r ]+') AS w
+            FROM documents),
+        b AS (SELECT id, w, len(w) AS n FROM w0 WHERE len(w) > 0),
+        c AS (
+            SELECT id, w, n,
+                   unnest(range(0, CASE WHEN n <= 16 THEN 1
+                                        ELSE 1 + (n - 16 + 11) // 12
+                                   END)) AS chunk_id
+            FROM b),
+        p AS (
+            SELECT id, chunk_id,
+                   w[CAST(chunk_id*12 + 1 AS INTEGER):CAST(chunk_id*12 + 16 AS INTEGER)] AS piece
+            FROM c)
+        SELECT id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               array_to_string(piece, ' ') AS chunk_text,
+               CAST(len(piece) AS BIGINT) AS n_tokens
+        FROM p
+    """
+
+    o["top_terms"] = """
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+')) AS term
+            FROM documents),
+        tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+        dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        r AS (
+            SELECT id, term, tf, doc_freq,
+                   row_number() OVER (
+                       PARTITION BY id
+                       ORDER BY tf DESC, doc_freq ASC, term ASC) AS rank
+            FROM tf JOIN dfreq USING (term))
+        SELECT id, term, tf, doc_freq, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 3
+    """
 
     # winnowing oracle: recompute the WHOLE algorithm in SQL — codepoint
     # Horner hash per k-gram (k=8, base 257, mod 2^31-1), windows of 4

@@ -145,3 +145,38 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         df.select(F.col(id_col), F.explode(udf(F.col(text_col))).alias("s"))
         .select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
     )
+
+
+def top_terms_by_tf(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-document top-``k`` terms, integer-ranked: term frequency DESC,
+    corpus document-frequency ASC (rarer-is-more-salient — the tf-idf
+    ordering without the float idf), term ASC. Every ranking key is an
+    exact integer/string, so an independent SQL engine reproduces the
+    ranks bit-for-bit — the float-free analog of tf-idf term extraction.
+
+    Terms are ASCII-lowercased (translate, the cross-engine-safe subset)
+    tokens of the pinned alphabet. Scale shape: two hash aggregations
+    (term counts map-side-combine before shuffling) + a broadcast-or-
+    shuffle join on term + one per-doc window over ≤ distinct-terms rows.
+    """
+    toks = F.regexp_extract_all(
+        F.translate(F.col(text_col),
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                    "abcdefghijklmnopqrstuvwxyz"),
+        F.lit(r"[^\t\n\f\r ]+"), 0)
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.explode(toks).alias("term"))
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("doc_freq")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("id").orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "doc_freq",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -341,3 +341,61 @@ def test_approx_percentile_within_documented_tolerance(spark):
             # percentile interpolates, the sketch returns a data point),
             # so the value can differ by at most one observation's gap
             assert abs(ev - av) <= max(0.15 * ev, 30.0), (lang, ev, av)
+
+
+# ---------------------------------------------------------------------------
+# chunking + top terms
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from ocr_system_spark.operators.chunking import chunk_documents
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, ""), (4, " \t\n ")],
+        "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["id"], []).append(r)
+    # doc 1: 10 tokens, windows at 0,3,6 — ceil((10-4)/3)=2 extra windows
+    # and the start-6 window already covers the tail (no token dropped)
+    c1 = sorted(by[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"       # stride-3 overlap
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9"
+    # every token appears in some chunk
+    covered = {t for r in c1 for t in r["chunk_text"].split()}
+    assert covered == {f"w{i}" for i in range(10)}
+    # doc 2 fits one window; empty/whitespace docs yield nothing
+    assert [r["chunk_text"] for r in by[2]] == ["short doc"]
+    assert 3 not in by and 4 not in by
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    from ocr_system_spark.operators.chunking import chunk_documents
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=5)
+
+
+def test_top_terms_integer_ranking(spark):
+    from ocr_system_spark.operators.textstats import top_terms_by_tf
+    rows = [
+        (1, "apple apple apple banana banana cherry"),
+        (2, "banana banana banana apple"),
+        (3, "Cherry CHERRY unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id"], r["rank"]): r for r in top_terms_by_tf(df, k=2).collect()}
+    assert out[(1, 1)]["term"] == "apple" and out[(1, 1)]["tf"] == 3
+    # doc 1 tie at tf=2? no — banana tf 2, cherry tf 1 → rank2 banana
+    assert out[(1, 2)]["term"] == "banana"
+    # case folding: doc 3's "Cherry CHERRY" counts as one term, tf=2 —
+    # and 'unique' (doc_freq 1) outranks 'cherry' (doc_freq 2) at tf tie?
+    # no tie: cherry tf=2 beats unique tf=1
+    assert out[(3, 1)]["term"] == "cherry" and out[(3, 1)]["tf"] == 2
+    assert out[(3, 2)]["term"] == "unique"
+    assert out[(3, 2)]["doc_freq"] == 1
