@@ -399,3 +399,53 @@ def test_top_terms_integer_ranking(spark):
     assert out[(3, 1)]["term"] == "cherry" and out[(3, 1)]["tf"] == 2
     assert out[(3, 2)]["term"] == "unique"
     assert out[(3, 2)]["doc_freq"] == 1
+
+
+# ---------------------------------------------------------------------------
+# property-style robustness: canonicalization idempotence, chunk coverage
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_url_is_idempotent(spark):
+    """canon(canon(u)) == canon(u): the canonical form is a fixed point —
+    the property that makes url-keyed dedup stable under re-ingestion."""
+    raws = [
+        "HTTP://A.B:80/x/?utm_a=1&q=2",
+        "https://X.Y:443/",
+        "http://h:8080/p/q/?gclid=1",
+        "https://h/p#f",
+        "http://h",
+        "HTTP://UPPER.HOST:80/Mixed/Case/?ref=r&Keep=V#frag",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"], r
+
+
+def test_chunk_documents_covers_every_token_once_per_stride(spark):
+    """For any doc: the union of chunks covers all tokens, consecutive
+    chunks overlap by exactly chunk_tokens - stride (except the tail),
+    and chunk 0 starts at token 0."""
+    from ocr_system_spark.operators.chunking import chunk_documents
+    import random
+    rng = random.Random(7)
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(rng.randint(1, 40))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=8, stride=5).collect()
+    docs = {}
+    for r in out:
+        docs.setdefault(r["id"], []).append(r)
+    assert set(docs) == {i for i, t in rows}
+    for i, text in rows:
+        toks = text.split()
+        chunks = sorted(docs[i], key=lambda r: r["chunk_id"])
+        assert chunks[0]["chunk_text"].split()[0] == toks[0]
+        covered = set()
+        for c in chunks:
+            ws = c["chunk_text"].split()
+            start = c["chunk_id"] * 5
+            assert ws == toks[start:start + 8]       # exact window content
+            covered.update(ws)
+        assert covered == set(toks)                  # nothing dropped
