@@ -512,17 +512,42 @@ def incremental_minhash_pairs(
 
     Scale: the cross join is keyed by (band, bhash) — co-locate it by
     storing the index band rows bucketed on bhash (plans/bucketed) and the
-    batch side repartitioned to match; residual hot buckets (a batch doc
-    landing in a viral index cluster) are AQE skew-split (adaptive mode is
-    on in get_spark), and the verify join is id-keyed and exact."""
+    batch side repartitioned to match. ``salt_cap`` additionally
+    chunk-salts INDEX-side buckets above the cap (the index is the side
+    that accumulates viral clusters over batches): index rows hash into
+    m=⌈G/cap⌉ chunks and only the hot buckets' batch rows are replicated
+    m×, so a batch doc landing in a viral index cluster spreads over m
+    bounded tasks instead of one. The probe is one tiny aggregate and the
+    plain 2-key join runs when no bucket is hot (the common case). The
+    verify join is id-keyed and exact."""
     rows = k // bands
-    bb = band_rows(batch_sig, bands, rows)
-    ib = band_rows(index_sig, bands, rows)
+    # both band relations cached: bb feeds the cross join and the
+    # within-batch leg; ib feeds the hot-bucket probe and the cross join
+    bb = band_rows(batch_sig, bands, rows).cache()
+    ib = band_rows(index_sig, bands, rows).cache()
+    big = (ib.groupBy("band", "bhash")
+           .agg(F.count(F.lit(1)).alias("gsz"))
+           .filter(F.col("gsz") > salt_cap))
+    il = ib.select(F.col("id").alias("index_id"), "band", "bhash")
+    bl = bb.select(F.col("id").alias("batch_id"), "band", "bhash")
+    if big.isEmpty():
+        raw = il.join(bl, ["band", "bhash"])
+    else:
+        il = (il.join(F.broadcast(big), ["band", "bhash"], "left")
+              .withColumn("m", F.coalesce(
+                  F.ceil(F.col("gsz") / salt_cap), F.lit(1)).cast("int"))
+              .withColumn("chunk", F.pmod(F.xxhash64("index_id"),
+                                          F.col("m")).cast("int")))
+        bl = (bl.join(F.broadcast(big), ["band", "bhash"], "left")
+              .withColumn("m", F.coalesce(
+                  F.ceil(F.col("gsz") / salt_cap), F.lit(1)).cast("int"))
+              .withColumn("chunk", F.explode(
+                  F.sequence(F.lit(0), F.col("m") - 1))))
+        raw = (il.select("index_id", "band", "bhash", "chunk")
+               .join(bl.select("batch_id", "band", "bhash", "chunk"),
+                     ["band", "bhash", "chunk"]))
     cand = (
-        ib.select(F.col("id").alias("index_id"), "band", "bhash")
-        .join(bb.select(F.col("id").alias("batch_id"), "band", "bhash"),
-              ["band", "bhash"])
-        .filter(F.col("index_id") != F.col("batch_id"))
+        raw.filter(F.col("index_id") != F.col("batch_id"))
         .select("index_id", "batch_id")
         .distinct()
     )

@@ -23,7 +23,11 @@ Canonical form (documented, deliberately minimal and deterministic):
   * empty path becomes ``/``; a single trailing slash on a non-root path
     is stripped;
   * inputs without ``://`` are passed through trimmed (not URLs we claim
-    to understand — never silently mangled).
+    to understand — never silently mangled);
+  * authorities containing userinfo (``user:pass@host``) are likewise
+    passed through trimmed: the colon-based port logic would mis-split
+    them, and credentialed URLs are a policy question (usually dropped
+    wholesale by crawl pipelines), not a normalization one.
 """
 from __future__ import annotations
 
@@ -71,8 +75,10 @@ def canonicalize_url(col: Column) -> Column:
         F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
         path2,
         F.when(qs2 != "", F.concat(F.lit("?"), qs2)).otherwise(F.lit("")))
-    # not an absolute URL we understand → pass through trimmed
-    return F.when(p3 > 0, canon).otherwise(u)
+    # not an absolute URL we understand (no scheme, or userinfo in the
+    # authority) → pass through trimmed, never mangled
+    return F.when((p3 > 0) & (F.instr(hostport, "@") == 0), canon) \
+            .otherwise(u)
 
 
 def url_dedup_groups(df: DataFrame, url_col: str = "url",
