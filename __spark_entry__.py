@@ -958,6 +958,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_terms"] = q_top_terms
 
+    def q_embedding_topk_int8(spark, sf_dir):
+        """Exact top-5 over INT8-quantized embeddings (the 4× storage
+        path). Quantization, integer dots/norms, and the IEEE-exact score
+        are fully replayed by the DuckDB oracle — ranks match
+        bit-for-bit, ties included."""
+        from ocr_system_spark.operators.similarity import brute_force_topk_int8
+        e = tables.load(spark, sf_dir, "embeddings")
+        return brute_force_topk_int8(e, e.filter(F.col("vec_id") < 20), k=5)
+
+    q["embedding_topk_int8"] = q_embedding_topk_int8
+
     return q
 
 
@@ -1301,6 +1312,52 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             JOIN e qe ON qe.vec_id = query_id
             JOIN e ne ON ne.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank
+        FROM scored WHERE rk <= 5
+    """
+
+    # int8-ANN oracle: replay quantization (round half-away matches Spark's
+    # HALF_UP on both signs), exact integer dots/norms via parallel unnest,
+    # and the IEEE-exact score division — bit-identical ranks.
+    o["embedding_topk_int8"] = """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        sc AS (
+            SELECT vec_id, v,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                        THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                        ELSE 0.0 END AS s
+            FROM e),
+        q8 AS (
+            SELECT vec_id,
+                   list_transform(v, x -> CAST(round(x * s) AS BIGINT)) AS q
+            FROM sc),
+        norms AS (
+            SELECT vec_id, sum(qv * qv) AS na2
+            FROM (SELECT vec_id, unnest(q) AS qv FROM q8)
+            GROUP BY vec_id),
+        pairs AS (
+            SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                   qq.q AS qa, cc.q AS qb
+            FROM q8 qq JOIN q8 cc ON cc.vec_id != qq.vec_id
+            WHERE qq.vec_id < 20),
+        dots AS (
+            SELECT query_id, neighbor_id, sum(a * b) AS d
+            FROM (SELECT query_id, neighbor_id,
+                         unnest(qa) AS a, unnest(qb) AS b
+                  FROM pairs)
+            GROUP BY query_id, neighbor_id),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(d AS DOUBLE)
+                                / sqrt(CAST(na2 AS DOUBLE)) DESC,
+                                neighbor_id) AS rk
+            FROM dots JOIN norms ON norms.vec_id = neighbor_id
+            WHERE na2 > 0)
         SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank
         FROM scored WHERE rk <= 5
     """

