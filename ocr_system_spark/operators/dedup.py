@@ -556,7 +556,13 @@ def incremental_minhash_pairs(
                   .select(F.col("id_a").alias("index_id"),
                           F.col("id_b").alias("batch_id")))
         cand = cand.union(within).distinct()
-    sa = index_sig.unionByName(batch_sig).dropDuplicates(["id"]).select(
+    # the left verify side may need batch rows too (within-batch pairs);
+    # on an id present in BOTH relations (re-crawl) the INDEX version wins
+    # deterministically — it is the stored truth until the batch is merged
+    # (dropDuplicates would pick an arbitrary side per run)
+    sa = index_sig.unionByName(
+        batch_sig.join(index_sig.select("id"), "id", "left_anti")
+    ).select(
         F.col("id").alias("index_id"), F.col("sh_hashes").alias("sh_a"))
     sb = batch_sig.select(
         F.col("id").alias("batch_id"), F.col("sh_hashes").alias("sh_b"))
