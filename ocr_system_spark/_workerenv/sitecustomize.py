@@ -67,22 +67,34 @@ def _chain_next_sitecustomize() -> None:
     broken deployment hook must not take down every Spark worker."""
     here = os.path.dirname(os.path.abspath(__file__))
     for p in sys.path:
+        # per-entry scan errors (unreadable dir, bad abspath) skip THAT
+        # entry only — aborting the scan would silently shadow a legitimate
+        # deployment sitecustomize further down the path, the exact bug
+        # this chain exists to avoid. Only the located file's execution
+        # errors are swallowed-and-done (a broken deployment hook must not
+        # take down every worker, and rescanning past it would double-run
+        # nothing useful).
         try:
             base = os.path.abspath(p or ".")
             if base == here:
                 continue
             cand = os.path.join(base, "sitecustomize.py")
-            if os.path.isfile(cand):
-                import importlib.util
-
-                spec = importlib.util.spec_from_file_location(
-                    "sitecustomize_chained", cand)
-                if spec and spec.loader:
-                    mod = importlib.util.module_from_spec(spec)
-                    spec.loader.exec_module(mod)
-                return
+            found = os.path.isfile(cand)
         except Exception:
-            return
+            continue
+        if not found:
+            continue
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "sitecustomize_chained", cand)
+            if spec and spec.loader:
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+        except Exception:
+            pass
+        return
 
 
 _chain_next_sitecustomize()

@@ -59,6 +59,34 @@ def _collect_matrix(queries: DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
+def _md5_sample_key(id_col: str) -> Column:
+    """Deterministic pseudo-random ordering key: lowercase-hex md5 of the
+    id's decimal string. Engine-portable (DuckDB ``md5(CAST(id AS
+    VARCHAR))`` produces the identical string) and — unlike an id-stride
+    filter — independent of the id SPACE: gappy / non-contiguous ids
+    (post-dedup corpora, sharded id ranges) sample just as uniformly.
+    A global ORDER BY this key + LIMIT n compiles to TakeOrderedAndProject
+    (per-partition partial top-n, no global sort) — scale-safe."""
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def _sample_centroids(emb: DataFrame, n_centroids: int, id_col: str,
+                      vec_col: str) -> list:
+    """n_centroids deterministic sample vectors, cell-numbered by ascending
+    id (engine-stable). Raises when the corpus is empty; clamps (with the
+    clamp visible to the caller via the returned length) when the corpus
+    has fewer rows than requested cells."""
+    rows = (emb.select(id_col, vec_col)
+            .orderBy(_md5_sample_key(id_col), F.col(id_col))
+            .limit(n_centroids).collect())
+    if not rows:
+        raise ValueError(
+            "IVF centroid init: embedding relation is empty — cannot "
+            f"sample {n_centroids} centroids")
+    rows.sort(key=lambda r: r[0])
+    return [[float(x) for x in r[1]] for r in rows]
+
+
 def _partial_topk_frame(ids, q_ids, scores, k) -> pd.DataFrame:
     """Per-query partial top-k WITHIN one scored block: keep only rows whose
     score ties-or-beats the block's k-th best for that query (score ties are
@@ -154,35 +182,90 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids=None,
+    cell_cap: Optional[int] = None,
+    max_subcells: int = 16,
 ) -> DataFrame:
     """IVF approximate top-k — the scale path for clustered corpora.
 
     ``centroids`` (sequence of vectors) plugs in TRAINED cells — see
     ``train_ivf_centroids`` for the distributed Lloyd refinement. When
-    omitted, centroids are a deterministic corpus sample (every ⌈N/C⌉-th
-    vector by id — the zero-cost bootstrap). Each corpus vector is
-    assigned to its nearest centroid (one matmul per Arrow batch); a query
-    scores ONLY the cells of its ``n_probe`` nearest centroids, so the
-    scan fraction is ~n_probe/n_centroids instead of 1."""
+    omitted, centroids are a deterministic md5-ordered corpus sample
+    (``_sample_centroids`` — robust to gappy id spaces, replayable in
+    SQL). Each corpus vector is assigned to its nearest centroid (one
+    matmul per Arrow batch); a query scores ONLY the cells of its
+    ``n_probe`` nearest centroids, so the scan fraction is
+    ~n_probe/n_centroids instead of 1.
+
+    ``cell_cap`` is the hot-cell guard: a skewed corpus (most vectors in
+    one cell — viral templates, near-constant embeddings) would otherwise
+    degrade a probe of that cell to near-brute-force. Cells whose
+    occupancy exceeds the cap are re-split into n_sub = ⌈occupancy/cap⌉
+    (≤ ``max_subcells``) HASH chunks of their member ids, and a query
+    probing a hot cell probes only ``n_probe`` of its chunks (rotation
+    chosen per query id) — so the candidate mass per probed hot cell
+    drops from `occupancy` to ≈ occupancy·n_probe/n_sub, GUARANTEED by
+    hash balance. A hash split (not a geometric sub-centroid split) is
+    deliberate: the cells that go hot in practice are near-duplicate
+    blobs, where every geometric sub-centroid ties and the split
+    degenerates to one chunk; under a hash split the blob's members are
+    statistically interchangeable across chunks, so probing any p of
+    them preserves near-dup recall while the per-task bound holds
+    unconditionally (same reasoning as dedup's ``_salted_self_join``).
+    Costs one extra assignment pass + one tiny aggregate; leave None for
+    un-skewed corpora (the oracle replays the None path)."""
+    return _rank_scored(
+        ivf_scored(emb, queries, k, id_col, vec_col, n_centroids, n_probe,
+                   centroids, cell_cap, max_subcells), k)
+
+
+def ivf_scored(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+    cell_cap: Optional[int] = None,
+    max_subcells: int = 16,
+) -> DataFrame:
+    """The pre-window scored relation of ``ivf_topk`` — exposed so volume
+    tests can pin the candidate mass (the hot-cell guard's contract)."""
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
 
     if centroids is None:
-        # deterministic centroid sample
-        total = emb.count()
-        stride = max(total // n_centroids, 1)
-        cent_rows = (emb.select(id_col, vec_col)
-                     .filter((F.col(id_col) % stride == 0))
-                     .orderBy(id_col).limit(n_centroids).collect())
-        centroids = [r[1] for r in cent_rows]
+        centroids = _sample_centroids(emb, n_centroids, id_col, vec_col)
     cents = np.array(centroids, dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
-    # which cells does each query probe?
+    # ---- hot-cell guard: find oversized cells, plan their hash chunks ----
+    # effective cell key = cell * _SUB_STRIDE + chunk (chunk = 0 unsplit)
+    hot_plan: dict = {}
+    if cell_cap is not None:
+        assign_col = _assign_cell_udf(cents)
+        hist = (emb.select(vec_col)
+                .withColumn("cell", assign_col(F.col(vec_col)))
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect())
+        hot_plan = plan_hot_cells(
+            {int(r["cell"]): int(r["n"]) for r in hist},
+            cell_cap, max_subcells)
+
+    # which (cell[, chunk]) keys does each query probe?
     q_cells = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]   # (nq, p)
-    cell_to_queries = {
-        int(c): np.nonzero((q_cells == c).any(axis=1))[0]
-        for c in np.unique(q_cells)
-    }
+    key_to_queries: dict = {}
+    for qi in range(q_mat.shape[0]):
+        for c in q_cells[qi]:
+            c = int(c)
+            n_sub = hot_plan.get(c, 1)
+            # per-query rotation spreads probe load over the chunks while
+            # keeping the probed set deterministic
+            start = int(_id_chunk(np.array([q_ids[qi]]), n_sub)[0])
+            for j in range(min(n_probe, n_sub)):
+                key_to_queries.setdefault(
+                    c * _SUB_STRIDE + (start + j) % n_sub, []).append(qi)
+    key_to_queries = {key: np.unique(np.array(qs, dtype=np.int64))
+                      for key, qs in key_to_queries.items()}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,9 +273,14 @@ def ivf_topk(
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             assign = np.argmax(mat @ cents.T, axis=1)               # (batch,)
+            eff = assign * _SUB_STRIDE
+            for c, n_sub in hot_plan.items():
+                in_c = np.nonzero(assign == c)[0]
+                if in_c.size:
+                    eff[in_c] += _id_chunk(ids[in_c], n_sub)
             frames = []
-            for cell, qs in cell_to_queries.items():
-                in_cell = np.nonzero(assign == cell)[0]
+            for key, qs in key_to_queries.items():
+                in_cell = np.nonzero(eff == key)[0]
                 if in_cell.size == 0:
                     continue
                 scores = mat[in_cell] @ q_mat[qs].T                 # (m, |qs|)
@@ -203,7 +291,43 @@ def ivf_topk(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    return _rank_scored(_scored_df(emb, run, id_col, vec_col), k)
+    return _scored_df(emb, run, id_col, vec_col)
+
+
+_SUB_STRIDE = 1024       # chunk ids pack below this — max_subcells ceiling
+_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def plan_hot_cells(hist: dict, cell_cap: int, max_subcells: int) -> dict:
+    """{cell: n_chunks} for cells whose occupancy exceeds the cap:
+    n_chunks = ⌈occupancy/cap⌉ capped at max_subcells (and at the key
+    stride). Exposed for the volume test pinning the guard's bound."""
+    if max_subcells > _SUB_STRIDE:
+        raise ValueError(f"max_subcells must be <= {_SUB_STRIDE}")
+    return {c: min(-(-n // cell_cap), max_subcells)
+            for c, n in hist.items() if n > cell_cap}
+
+
+def _id_chunk(ids: np.ndarray, n_sub: int) -> np.ndarray:
+    """Deterministic hash chunk of an id array: splitmix-style multiply +
+    high-bits fold, mod n_sub — balanced regardless of id spacing."""
+    if n_sub <= 1:
+        return np.zeros(len(ids), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        h = (ids.astype(np.uint64) * _GOLDEN64) >> np.uint64(32)
+    return (h % np.uint64(n_sub)).astype(np.int64)
+
+
+def _assign_cell_udf(cents_normed: np.ndarray):
+    cn = cents_normed
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cn.T, axis=1).astype("int32"),
+                         index=vecs.index)
+    return assign
 
 
 def with_int8_embedding(df: DataFrame, vec_col: str = "embedding",
@@ -253,11 +377,17 @@ def brute_force_topk_int8(
             ids = pdf["id"].to_numpy(dtype=np.int64)
             mat = np.array(pdf["q8"].tolist(), dtype=np.int64)
             na2 = (mat * mat).sum(axis=1)
+            # zero-norm corpus vectors are DROPPED, not scored -inf: a
+            # -inf row kept by a short block would enter the ranked window
+            # while the SQL oracle's WHERE na2 > 0 excludes it — ranks
+            # would diverge whenever a query has < k nonzero neighbors
+            nz = np.nonzero(na2 > 0)[0]
+            if nz.size == 0:
+                continue
+            ids, mat, na2 = ids[nz], mat[nz], na2[nz]
             dots = (mat @ q_mat.T).astype(np.float64)     # exact ints
-            denom = np.sqrt(np.maximum(na2, 1).astype(np.float64))
-            scores = np.where(na2[:, None] > 0,
-                              dots / denom[:, None], -np.inf)
-            yield _partial_topk_frame(ids, q_ids, scores, k)
+            denom = np.sqrt(na2.astype(np.float64))
+            yield _partial_topk_frame(ids, q_ids, dots / denom[:, None], k)
 
     scored = corpus.mapInPandas(run, schema=_SCORED_SCHEMA)
     return _rank_scored(scored, k)
@@ -277,10 +407,12 @@ def train_ivf_centroids(
     """Distributed Lloyd refinement of the IVF centroids — the training
     step ``ivf_topk`` names as its production path.
 
-    Init is the deterministic stride sample (the replayable stand-in for
-    k-means||'s oversampling round — random oversampling can't be replayed
-    by an independent SQL engine, and determinism is what lets the DuckDB
-    oracle recompute training end-to-end). Each iteration is the exact
+    Init is the deterministic md5-ordered sample (``_sample_centroids`` —
+    the replayable stand-in for k-means||'s oversampling round: random
+    oversampling can't be replayed by an independent SQL engine, and
+    determinism is what lets the DuckDB oracle recompute training
+    end-to-end; the md5 ordering, unlike the previous id-stride filter,
+    cannot come up short on gappy id spaces). Each iteration is the exact
     shape a k-means|| refinement runs at scale: one map-only assignment
     pass with the (tiny) centroid matrix broadcast into the Arrow batches,
     then one map-side-combined aggregation of per-(cell, dim) sums — the
@@ -295,12 +427,10 @@ def train_ivf_centroids(
     lower cell on both sides). Cells that lose all members keep their
     previous centroid."""
     quant = 1 << quant_bits
-    total = emb.count()
-    stride = max(total // n_centroids, 1)
-    init_rows = (emb.select(id_col, vec_col)
-                 .filter(F.col(id_col) % stride == 0)
-                 .orderBy(id_col).limit(n_centroids).collect())
-    cents = [[float(x) for x in r[1]] for r in init_rows]
+    cents = _sample_centroids(emb, n_centroids, id_col, vec_col)
+    if len(cents) < n_centroids:
+        # fewer corpus rows than requested cells: every row IS a centroid
+        n_centroids = len(cents)
     dim = len(cents[0])
 
     vq = emb.select(
@@ -312,20 +442,11 @@ def train_ivf_centroids(
         ).alias("q"),
     )
 
-    def _assign_udf(cn: np.ndarray):
-        @F.pandas_udf("int")
-        def assign(vecs: pd.Series) -> pd.Series:
-            mat = np.array(vecs.tolist(), dtype=np.float64)
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            return pd.Series(np.argmax(mat @ cn.T, axis=1).astype("int32"),
-                             index=vecs.index)
-        return assign
-
     for _ in range(iters):
         cm = np.array(cents, dtype=np.float64)
         cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
         sums = (
-            vq.withColumn("cell", _assign_udf(cn)(F.col("v")))
+            vq.withColumn("cell", _assign_cell_udf(cn)(F.col("v")))
             .select("cell", F.posexplode("q").alias("dim", "qv"))
             .groupBy("cell", "dim")
             .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c"))

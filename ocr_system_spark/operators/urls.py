@@ -20,8 +20,11 @@ Canonical form (documented, deliberately minimal and deterministic):
   * tracking query params dropped (``utm_*``, ``gclid``, ``fbclid``,
     ``ref``), remaining params kept IN ORDER (param reordering is a
     semantic change for some sites, so we do not sort);
-  * empty path becomes ``/``; a single trailing slash on a non-root path
-    is stripped;
+  * empty path becomes ``/``; ALL trailing slashes on a non-root path are
+    stripped (``/a//`` → ``/a`` — stripping only one would make
+    canonicalization non-idempotent, and idempotence is what keeps
+    url-keyed dedup groups stable under re-ingestion of already-canonical
+    urls);
   * inputs without ``://`` are passed through trimmed (not URLs we claim
     to understand — never silently mangled);
   * authorities containing userinfo (``user:pass@host``) are likewise
@@ -67,9 +70,11 @@ def canonicalize_url(col: Column) -> Column:
         F.split(qs, "&"),
         lambda x: (x != "") & (~x.rlike(TRACKING_PARAM_RE)))
     qs2 = F.array_join(params, "&")
-    path2 = (F.when(path == "", F.lit("/"))
-             .when(path == "/", F.lit("/"))
-             .otherwise(F.regexp_replace(path, "/$", "")))
+    # strip ALL trailing slashes, then restore root: '/a//' → '/a',
+    # '' / '/' / '//' → '/' — a fixed point, so re-canonicalizing an
+    # already-canonical url never moves it to a different dedup group
+    stripped = F.regexp_replace(path, "/+$", "")
+    path2 = F.when(stripped == "", F.lit("/")).otherwise(stripped)
     canon = F.concat(
         scheme, F.lit("://"), host,
         F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),

@@ -116,6 +116,8 @@ def test_dup_span_doc_mass_counts(spark):
     ("http://example.com:8080/q?gclid=z&utm_campaign=c", "http://example.com:8080/q"),
     ("http://example.com", "http://example.com/"),
     ("http://example.com/?fbclid=a&ref=t&keep=1&utm_x=9", "http://example.com/?keep=1"),
+    ("http://h/a//", "http://h/a"),                    # all trailing slashes go
+    ("https://h///", "https://h/"),                    # root stays '/'
     ("  http://example.com/x  ", "http://example.com/x"),
     ("not a url at all", "not a url at all"),          # passthrough
     # userinfo authority: declared out of scope → passthrough, not mangled
@@ -417,6 +419,11 @@ def test_canonicalize_url_is_idempotent(spark):
         "https://h/p#f",
         "http://h",
         "HTTP://UPPER.HOST:80/Mixed/Case/?ref=r&Keep=V#frag",
+        # repeated trailing slashes: '/a//' must go straight to '/a'
+        # (stripping one slash per pass broke the fixed point — round-4 fix)
+        "http://h/a//",
+        "http://h/a///",
+        "https://h///",
     ]
     df = spark.createDataFrame([(r,) for r in raws], "url string")
     once = df.select(canonicalize_url(F.col("url")).alias("c1"))
