@@ -375,6 +375,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
 
+    def q_dedup_ngram_guarded(spark, sf_dir):
+        """n-gram Jaccard with the frequent-shingle guard (and, at sf0.01,
+        the triangle salting) DEMONSTRABLY firing — closes the admitted
+        oracle gap where guard semantics were pytest-only (COVERAGE.md).
+
+        Constructed corpus (pure doc_id arithmetic, replayed in SQL):
+        every doc starts with the same 3 words (one shingle in ALL docs —
+        frequency > max_group at every tested sf → dropped), then a
+        mid-frequency 3-word tier keyed by (doc_id//2) % 16 (~N/16 docs:
+        ≈31 at sf0.01's 500-doc table — in (salt_cap=20, max_group] →
+        triangle-salted; ≈312 at sf0.1 → > max_group, also dropped), then
+        a pair tier keyed by doc_id//2, then a unique word. Pairs
+        (2g, 2g+1) land at Jaccard 6/8 (sf ≤ 0.01) or 3/5 (sf0.1) —
+        values that are only produced if the guard fired,
+        and the oracle replays the guard GENERICALLY (drop shingles with
+        doc-frequency > max_group before any counting), so the hash match
+        proves the guard contract, not just the happy path."""
+        from ocr_system_spark.operators.dedup import ngram_jaccard_pairs
+        d = tables.load(spark, sf_dir, "documents").select("doc_id")
+        g = F.floor(F.col("doc_id") / 2).cast("long")
+        gs = g.cast("string")
+        xs = (g % 16).cast("string")
+        text = F.concat_ws(
+            " ",
+            F.lit("z0"), F.lit("z1"), F.lit("z2"),
+            F.concat(F.lit("ma"), xs), F.concat(F.lit("mb"), xs),
+            F.concat(F.lit("mc"), xs),
+            F.concat(F.lit("pa"), gs), F.concat(F.lit("pb"), gs),
+            F.concat(F.lit("pc"), gs),
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")))
+        docs = d.select("doc_id", text.alias("text"))
+        p = ngram_jaccard_pairs(docs, "doc_id", min_jaccard_pct=50,
+                                max_group=150, salt_cap=20)
+        return p.select("id_a", "id_b",
+                        F.col("inter").cast("long").alias("inter"),
+                        F.col("uni").cast("long").alias("uni"))
+
+    q["dedup_ngram_guarded"] = q_dedup_ngram_guarded
+
     def q_dedup_minhash_lsh(spark, sf_dir):
         """MinHash(64)+LSH(16 bands) candidates, exact-verified at J≥0.7."""
         from ocr_system_spark.operators.dedup import (
@@ -1222,6 +1261,46 @@ def oracle_sql() -> dict[str, str]:
                    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
             FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id)
         WHERE inter >= 1 AND 100 * inter >= 50 * uni
+    """
+    # guard-aware oracle: replays the frequent-shingle guard GENERICALLY —
+    # global shingle doc-frequency is computed from the data and shingles
+    # with freq > max_group(=150) are dropped from every doc's set BEFORE
+    # sizing or pairing, exactly the operator's contract. Values (inter,
+    # uni) differ between guarded and unguarded answers by construction,
+    # so a hash-PASS here is proof the Spark guard fired.
+    o["dedup_ngram_guarded"] = r"""
+        WITH ids AS (
+            SELECT doc_id,
+                   CAST(doc_id // 2 AS VARCHAR) AS g,
+                   CAST((doc_id // 2) % 16 AS VARCHAR) AS x
+            FROM documents),
+        docs AS (
+            SELECT doc_id,
+                   'z0 z1 z2 ma' || x || ' mb' || x || ' mc' || x
+                   || ' pa' || g || ' pb' || g || ' pc' || g
+                   || ' u' || CAST(doc_id AS VARCHAR) AS text
+            FROM ids),
+        sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM docs)
+            WHERE len(w) >= 3),
+        ex AS (SELECT id, unnest(s) AS shingle FROM sh),
+        freq AS (SELECT shingle, count(*) AS gcnt FROM ex GROUP BY shingle),
+        kept AS (
+            SELECT id, shingle FROM ex JOIN freq USING (shingle)
+            WHERE gcnt <= 150),
+        sizes AS (SELECT id, count(*) AS n_sh FROM kept GROUP BY id),
+        ip AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY a.id, b.id)
+        SELECT id_a, id_b, inter, sa.n_sh + sb.n_sh - inter AS uni
+        FROM ip
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE 100 * inter >= 50 * (sa.n_sh + sb.n_sh - inter)
     """
     o["dedup_minhash_lsh"] = f"""
         WITH {_SHINGLE_BASE}
