@@ -967,6 +967,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_incremental"] = q_dedup_incremental
 
+    def q_dedup_index_update(spark, sf_dir):
+        """Index MAINTENANCE for incremental dedup — the write-side half:
+        a batch (near-dup copies of every 5th doc, which must be dropped,
+        plus reversed-word fresh docs from every 5th+1, which must
+        survive) is deduped against the corpus index with within-batch
+        pairs on, and ``update_minhash_index`` produces the next index
+        version. Output: the id set of that next version; the oracle
+        recomputes it from exact Jaccard semantics (cross AND within-batch
+        legs, min-id-wins within the batch)."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.dedup import (
+            incremental_minhash_pairs, minhash_signatures,
+            update_minhash_index)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        batch = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(words, 2, F.size(words) - 1), " ")
+            .alias("text")
+        ).union(d.filter(F.col("doc_id") % 5 == 1).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(F.reverse(words), " ").alias("text")))
+        index_sig = minhash_signatures(d, "doc_id").cache()
+        batch_sig = minhash_signatures(batch, "doc_id").cache()
+        pairs = incremental_minhash_pairs(batch_sig, index_sig,
+                                          include_batch_pairs=True)
+        return update_minhash_index(index_sig, batch_sig, pairs).select("id")
+
+    q["dedup_index_update"] = q_dedup_index_update
+
     def q_ivf_train_topk(spark, sf_dir):
         """IVF top-5 on TRAINED centroids: deterministic md5-sample init +
         two distributed Lloyd iterations with integer-exact quantized means, so
@@ -1714,6 +1744,59 @@ def oracle_sql() -> dict[str, str]:
                    len(i.s) + len(b.s) - len(list_intersect(i.s, b.s)) AS uni
             FROM shi i JOIN shb b ON i.id != b.id)
         WHERE inter >= 1 AND 100 * inter >= 70 * uni
+    """
+    # index-update oracle: recompute the next index version's id set from
+    # exact Jaccard semantics. A batch id is dropped iff it matches ANY
+    # stored doc at J >= 0.7 (cross leg) or ANY lower-id batch sibling
+    # (within leg — incremental_minhash_pairs emits within-batch pairs as
+    # (min, max), and survivors drop the batch_id=max side). Same LSH
+    # recall caveat as dedup_incremental, documented in COVERAGE.md.
+    o["dedup_index_update"] = r"""
+        WITH bi AS (SELECT doc_id AS id, trim(text) AS t FROM documents),
+        bb AS (
+            SELECT doc_id + 100000 AS id,
+                   array_to_string(
+                     regexp_split_to_array(trim(text), '\s+')[2:len(regexp_split_to_array(trim(text), '\s+'))],
+                     ' ') AS t
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 200000 AS id,
+                   array_to_string(
+                     list_reverse(regexp_split_to_array(trim(text), '\s+')),
+                     ' ') AS t
+            FROM documents WHERE doc_id % 5 = 1),
+        shi AS (
+            SELECT id,
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT id, regexp_split_to_array(t, '\s+') AS w FROM bi)
+            WHERE len(w) >= 3),
+        shb AS (
+            SELECT id,
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT id, regexp_split_to_array(t, '\s+') AS w FROM bb)
+            WHERE len(w) >= 3),
+        cross_dup AS (
+            SELECT DISTINCT id FROM (
+                SELECT b.id,
+                       len(list_intersect(i.s, b.s)) AS inter,
+                       len(i.s) + len(b.s) - len(list_intersect(i.s, b.s)) AS uni
+                FROM shi i JOIN shb b ON i.id != b.id)
+            WHERE inter >= 1 AND 100 * inter >= 70 * uni),
+        within_dup AS (
+            SELECT DISTINCT id FROM (
+                SELECT b.id,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+                FROM shb a JOIN shb b ON a.id < b.id)
+            WHERE inter >= 1 AND 100 * inter >= 70 * uni)
+        SELECT id FROM shi
+        UNION ALL
+        SELECT id FROM shb
+        WHERE id NOT IN (SELECT id FROM cross_dup)
+          AND id NOT IN (SELECT id FROM within_dup)
+          AND id NOT IN (SELECT id FROM shi)
     """
     o["token_counts"] = r"""
         SELECT doc_id,

@@ -575,6 +575,43 @@ def incremental_minhash_pairs(
     )
 
 
+def minhash_index_survivors(
+    batch_sig: DataFrame,
+    index_sig: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """The batch rows that should JOIN the index after a dedup pass:
+
+    * not matched to any stored document — every ``batch_id`` appearing in
+      ``pairs`` is a duplicate (of the index, or — when the pairs came from
+      ``incremental_minhash_pairs(include_batch_pairs=True)`` — of an
+      earlier batch sibling, which appears as the pair's min/``index_id``
+      side and therefore survives unless it matched something itself);
+    * not a re-crawl of an id already present in the index (the stored
+      version wins deterministically — same rule the verify join uses).
+
+    Plan shape: two left-anti hash joins keyed on id — no new shuffles
+    beyond the ids already flowing, safe at any corpus size."""
+    losers = pairs.select(F.col("batch_id").alias("id")).distinct()
+    return (batch_sig.join(losers, "id", "left_anti")
+            .join(index_sig.select("id"), "id", "left_anti"))
+
+
+def update_minhash_index(
+    index_sig: DataFrame,
+    batch_sig: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """The NEXT version of a persisted MinHash signature index: the stored
+    relation plus the batch's survivors (``minhash_index_survivors``).
+    This is the missing write-side half of ``incremental_minhash_pairs``:
+    compute pairs → report/drop duplicates → persist this relation as
+    version N+1 (see plans/index_store for the atomic versioned write)
+    → batch N+1 dedups against it. Columns: (id, sh_hashes, minhash)."""
+    return index_sig.unionByName(
+        minhash_index_survivors(batch_sig, index_sig, pairs))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     key_col: str,

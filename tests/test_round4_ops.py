@@ -73,3 +73,93 @@ def test_ngram_salting_is_output_invariant(spark):
         docs, "doc_id", min_jaccard_pct=50, max_group=150, salt_cap=10**9) \
         .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash index maintenance (update + versioned atomic store)
+# ---------------------------------------------------------------------------
+
+def _docs_df(spark, specs):
+    """specs: [(id, words:list[str])] -> (doc_id, text)"""
+    return spark.createDataFrame(
+        [(int(i), " ".join(w)) for i, w in specs],
+        "doc_id long, text string")
+
+
+def _words(tag: str):
+    return [f"{tag}w{j}" for j in range(12)]
+
+
+def test_index_update_three_batch_loop(spark, tmp_path):
+    """The production loop end-to-end over a versioned store: batch N+1
+    dedups against batch N's SURVIVORS; within-batch dups keep min id;
+    publishes are atomic and retry-idempotent."""
+    from ocr_system_spark.plans import index_store
+    path = str(tmp_path / "mh_index")
+
+    # v1: base corpus, docs 0..9
+    base = _docs_df(spark, [(i, _words(f"d{i}")) for i in range(10)])
+    v = index_store.write_index_version(
+        dedup.minhash_signatures(base, "doc_id"), path, n_partitions=4)
+    assert v == 1
+
+    # batch 1: a near-dup of doc 3 (drop first word) + a genuinely new doc
+    b1 = _docs_df(spark, [(103, _words("d3")[1:]), (120, _words("n20"))])
+    idx, ver = index_store.read_index(spark, path)
+    assert ver == 1
+    b1_sig = dedup.minhash_signatures(b1, "doc_id").cache()
+    pairs1 = dedup.incremental_minhash_pairs(
+        b1_sig, idx, include_batch_pairs=True).cache()
+    assert {(r.index_id, r.batch_id) for r in pairs1.collect()} == {(3, 103)}
+    v = index_store.write_index_version(
+        dedup.update_minhash_index(idx, b1_sig, pairs1), path, n_partitions=4)
+    assert v == 2
+    idx2, _ = index_store.read_index(spark, path)
+    ids2 = {r.id for r in idx2.select("id").collect()}
+    assert ids2 == set(range(10)) | {120}          # 103 dropped, 120 joined
+
+    # batch 2: near-dup of batch-1 SURVIVOR 120 (the point of the loop),
+    # a fresh doc, and an identical within-batch pair (min id must win)
+    b2 = _docs_df(spark, [
+        (220, _words("n20")[1:]),                  # dup of survivor 120
+        (130, _words("n30")),                      # fresh
+        (140, _words("same")), (141, _words("same")),  # within-batch dup
+    ])
+    b2_sig = dedup.minhash_signatures(b2, "doc_id").cache()
+    pairs2 = dedup.incremental_minhash_pairs(
+        b2_sig, idx2, include_batch_pairs=True).cache()
+    got = {(r.index_id, r.batch_id) for r in pairs2.collect()}
+    assert (120, 220) in got                       # caught via the GROWN index
+    assert (140, 141) in got                       # within-batch leg
+    v = index_store.write_index_version(
+        dedup.update_minhash_index(idx2, b2_sig, pairs2), path,
+        n_partitions=4)
+    assert v == 3
+    idx3, _ = index_store.read_index(spark, path)
+    ids3 = {r.id for r in idx3.select("id").collect()}
+    assert ids3 == ids2 | {130, 140}               # 220 and 141 dropped
+
+    # retry-idempotent republish of the same version
+    v = index_store.write_index_version(idx3, path, version=3, n_partitions=4)
+    assert v == 3 and index_store.read_latest_version(path) == 3
+    idx3b, _ = index_store.read_index(spark, path)
+    assert {r.id for r in idx3b.select("id").collect()} == ids3
+
+    # a crashed publish (data written, pointer NOT swapped) is invisible
+    import os
+    os.makedirs(os.path.join(path, "v00000099"), exist_ok=True)
+    _, ver = index_store.read_index(spark, path)
+    assert ver == 3
+
+
+def test_index_update_recrawl_keeps_stored_version(spark, tmp_path):
+    """An id present in both index and batch (re-crawl) must not be
+    appended twice — the stored row wins."""
+    base = _docs_df(spark, [(1, _words("a")), (2, _words("b"))])
+    sig = dedup.minhash_signatures(base, "doc_id")
+    recrawl = _docs_df(spark, [(2, _words("b-changed"))])
+    r_sig = dedup.minhash_signatures(recrawl, "doc_id")
+    pairs = dedup.incremental_minhash_pairs(r_sig, sig,
+                                            include_batch_pairs=True)
+    nxt = dedup.update_minhash_index(sig, r_sig, pairs)
+    assert nxt.filter(F.col("id") == 2).count() == 1
