@@ -803,6 +803,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline"] = q_curation_pipeline
 
+    def q_dedup_keep_best(spark, sf_dir):
+        """Quality-aware keep-one-per-cluster: near-dup components keep the
+        member with the MOST tokens, not the min id. The planted copy
+        APPENDS two words (higher score, higher id), so the kept set
+        provably differs from min-id keep-one — a hash-PASS here verifies
+        the keep_best policy itself, not just clustering."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.components import (
+            connected_components, keep_best)
+        from ocr_system_spark.operators.dedup import ngram_jaccard_pairs
+        from ocr_system_spark.operators.textstats import with_token_counts
+
+        d = tables.load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang")
+        copies = d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.trim(F.col("text")), F.lit(" zzqx zzqy")).alias("text"),
+            "lang")
+        both = d.union(copies)
+        edges = ngram_jaccard_pairs(both, "doc_id", block_col="lang",
+                                    min_jaccard_pct=50)
+        comps = connected_components(
+            edges, nodes=both.select(F.col("doc_id").alias("id")))
+        scored = with_token_counts(both).select("doc_id", "ws_tokens")
+        kept = keep_best(scored, comps, "ws_tokens", id_col="doc_id")
+        return kept.select("doc_id", "comp",
+                           F.col("ws_tokens").cast("long").alias("ws_tokens"))
+
+    q["dedup_keep_best"] = q_dedup_keep_best
+
     def q_zscore_by_lang(spark, sf_dir):
         """Per-language standardization of doc length (the per-group
         calibration a curation pipeline applies before thresholding) —
@@ -2256,6 +2286,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.doc_id, g.n_words, g.n_stop_hits
         FROM g JOIN comp ON g.doc_id = comp.id
         WHERE g.gopher_pass AND g.doc_id = comp.comp
+    """
+
+    # keep-best oracle: same recursive-CTE component walk as
+    # dedup_components, over the APPEND-two-words copy construction, then
+    # one window keeping the highest-token member (ties → min id). The
+    # copies outscore their sources, so min-id keep-one would fail this
+    # hash — the policy is what is being checked.
+    o["dedup_keep_best"] = r"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id AS id, lang, trim(text) AS t FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, lang, trim(text) || ' zzqx zzqy'
+            FROM documents),
+        sh AS (
+            SELECT id, lang,
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT id, lang, regexp_split_to_array(t, '\s+') AS w FROM base)
+            WHERE len(w) >= 3),
+        pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+                FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id)
+            WHERE inter >= 1 AND 100 * inter >= 50 * uni),
+        sym AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT id FROM base),
+        walk(id, reach) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT w.id, s.v FROM walk w JOIN sym s ON s.u = w.reach),
+        comp AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id),
+        score AS (
+            SELECT id, CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT)
+                       AS ws_tokens
+            FROM base),
+        ranked AS (
+            SELECT c.id, c.comp, s.ws_tokens,
+                   row_number() OVER (PARTITION BY c.comp
+                                      ORDER BY s.ws_tokens DESC, c.id) AS rn
+            FROM comp c JOIN score s USING (id))
+        SELECT id AS doc_id, comp, ws_tokens FROM ranked WHERE rn = 1
     """
 
     o["zscore_by_lang"] = """

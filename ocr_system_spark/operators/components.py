@@ -172,3 +172,37 @@ def connected_components(
             "raise max_iter, or use the large-star/small-star formulation "
             "for O(log n) rounds on arbitrary graphs.")
     return labels
+
+
+def keep_best(
+    scored: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_id_col: str = "id",
+    comp_col: str = "comp",
+) -> DataFrame:
+    """Quality-aware keep-one-per-cluster: for every dedup component keep
+    the member with the HIGHEST ``score_col`` (ties → minimum id — total
+    order, engine-independent). This is the policy a real training-data
+    pipeline ships — min-id keep-one (the `curation_pipeline` baseline)
+    discards quality information the pipeline already computed.
+
+    ``scored``: one row per document incl. ``id_col`` and ``score_col``
+    (any extra columns ride along). ``clusters``: the (id, comp) labels
+    from ``connected_components``.
+
+    Plan: one equi-join on the id + ONE window over the component key —
+    a single shuffle on ``comp``; no self-join, no collect. At 10^12 docs
+    the component key is the content-cluster id, whose cardinality is
+    ~n_docs (mostly singletons), so the window partitions stay tiny; a
+    viral cluster of G members is one partition of G rows — bounded by
+    the dedup stage's own cluster sizes, not by corpus size."""
+    from pyspark.sql import Window as W
+
+    joined = scored.join(
+        clusters.select(F.col(cluster_id_col).alias(id_col), comp_col),
+        id_col)
+    w = W.partitionBy(comp_col).orderBy(F.col(score_col).desc(), F.col(id_col))
+    return (joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

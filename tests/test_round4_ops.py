@@ -163,3 +163,35 @@ def test_index_update_recrawl_keeps_stored_version(spark, tmp_path):
                                             include_batch_pairs=True)
     nxt = dedup.update_minhash_index(sig, r_sig, pairs)
     assert nxt.filter(F.col("id") == 2).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# quality-aware keep-best dedup policy
+# ---------------------------------------------------------------------------
+
+def test_keep_best_prefers_score_over_min_id(spark):
+    from ocr_system_spark.operators.components import keep_best
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5)],
+        "doc_id long, score long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "id long, comp long")
+    kept = {(r.doc_id, r.comp) for r in
+            keep_best(scored, clusters, "score").collect()}
+    # cluster 1: ids 2 and 3 tie on score 30 -> min id 2 wins (NOT id 1)
+    assert kept == {(2, 1), (7, 7)}
+
+
+def test_keep_best_plan_single_window_no_cartesian(spark):
+    from ocr_system_spark.operators.components import keep_best
+    scored = spark.createDataFrame([(1, 10)], "doc_id long, score long")
+    clusters = spark.createDataFrame([(1, 1)], "id long, comp long")
+    plan = keep_best(scored, clusters, "score") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window [") == 1
+    # Spark 4 bonus: rank<=1 compiles to a PARTIAL WindowGroupLimit before
+    # the comp-key Exchange — a map-side top-1 prune, so a viral cluster
+    # ships ~one row per map partition instead of its whole membership
+    assert "WindowGroupLimit" in plan and "Partial" in plan
