@@ -2045,8 +2045,11 @@ def oracle_sql() -> dict[str, str]:
                    END AS clean_text,
                    n.t
             FROM normdoc n LEFT JOIN pieces p ON n.id = p.id)
-        SELECT id, clean_text,
-               CAST(length(t) - length(clean_text) AS BIGINT) AS n_removed
+        SELECT id,
+               trim(regexp_replace(clean_text, ' +', ' ', 'g')) AS clean_text,
+               CAST(length(t)
+                    - length(trim(regexp_replace(clean_text, ' +', ' ', 'g')))
+                    AS BIGINT) AS n_removed
         FROM cleaned
     """
 

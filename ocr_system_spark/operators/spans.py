@@ -110,6 +110,15 @@ def remove_duplicate_spans(
     Output: (id, clean_text, n_removed) — n_removed is the exact integer
     character count cut, so downstream thresholds stay float-free.
 
+    ``clean_text`` is returned in the winnow-NORMAL form (single spaces,
+    trimmed): excising an interval whose two surrounding spaces both
+    survive would otherwise leave a double space at the junction, and the
+    output would no longer be in the operator's own coordinate system —
+    re-running on it would "remove" the junction space and shift every
+    winnow position (found by the round-4 hypothesis fixpoint test). The
+    junction collapse makes the operator idempotent: cleaned text passes
+    through unchanged.
+
     Fully JVM-side: interval merging is the classic gaps-and-islands
     window computation (same shape as streaming/sessionize), string
     surgery is substr/concat over the island boundaries — no Python in
@@ -167,11 +176,15 @@ def remove_duplicate_spans(
         norm.join(hits.select("id").distinct(), "id", "left_anti")
         .select("id", F.col("t").alias("clean_text"))
     )
+    # junction collapse: normalized input has single spaces only, so any
+    # space RUN in the reassembly is an excision seam — collapse + trim
+    # restores winnow-normal form (idempotence; no-op for untouched docs)
+    clean = F.trim(F.regexp_replace("clean_text", " +", " "))
     return (
         pieces.unionByName(untouched)
         .join(norm, "id")
-        .select("id", "clean_text",
-                (F.length("t") - F.length("clean_text")).alias("n_removed"))
+        .select("id", clean.alias("clean_text"),
+                (F.length("t") - F.length(clean)).alias("n_removed"))
     )
 
 
