@@ -35,6 +35,8 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "4"))
+# host loadavg at start/end: the co-tenancy witness for this run's window
+LOAD0 = round(os.getloadavg()[0], 2)
 
 
 def build_pages(spark, sf_dir: str, replicate: int):
@@ -66,6 +68,7 @@ def main() -> None:
                       shuffle_partitions=max(CPUS, 8))
 
     timings: dict[str, float] = {}
+    spread: dict[str, list] = {}
     extras: dict[str, float] = {}
 
     def timed(name: str, fn, reps: int = 3, between=None) -> None:
@@ -75,15 +78,19 @@ def main() -> None:
         # first-execution JIT for shapes the suite hasn't warmed.
         # ``between`` resets state OUTSIDE the timing (e.g. drops a query's
         # internal caches so every rep re-executes all real work).
-        best = None
+        # ALL rep timings are reported under "spread": a 2-5× max/min ratio
+        # is the co-tenant noise signature, so a slow headline number is
+        # classifiable as interference (wide spread) vs a real regression
+        # (tight spread at the slow value) from the JSON alone.
+        all_reps = []
         for i in range(reps):
             if i and between is not None:
                 between()
             t0 = time.perf_counter()
             fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            all_reps.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(all_reps)
+        spread[name] = all_reps
 
     # ---- flagship extraction pipeline ------------------------------------
     pages = build_pages(spark, SF_DIR, REPLICATE)
@@ -215,6 +222,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "loadavg_start": LOAD0,
+        "loadavg_end": round(os.getloadavg()[0], 2),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         **extras,
         "cpus": CPUS,
