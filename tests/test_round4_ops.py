@@ -195,3 +195,91 @@ def test_keep_best_plan_single_window_no_cartesian(spark):
     # the comp-key Exchange — a map-side top-1 prune, so a viral cluster
     # ships ~one row per map partition instead of its whole membership
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental dedup loop (foreachBatch over the versioned store)
+# ---------------------------------------------------------------------------
+
+def _doc_pdf(specs):
+    import pandas as pd
+    return pd.DataFrame({"doc_id": [int(i) for i, _ in specs],
+                         "text": [" ".join(w) for _, w in specs]})
+
+
+def test_streaming_incremental_dedup_loop(spark, tmp_path):
+    """Two micro-batches through the stream: batch 0 bootstraps the index
+    (within-batch dups deduped), batch 1 dedups against batch 0's
+    SURVIVORS; versions are batch-id derived; pairs are logged per batch."""
+    import os
+    from pyspark.sql import types as T
+    from ocr_system_spark.plans import index_store
+    from ocr_system_spark.streaming import incremental
+
+    d = {k: str(tmp_path / k) for k in ["in", "pairs", "ckpt"]}
+    os.makedirs(d["in"])
+    store = str(tmp_path / "store")
+
+    # batch 0: two distinct docs + an identical within-batch dup
+    _doc_pdf([(1, _words("a")), (2, _words("b")), (3, _words("b"))]) \
+        .to_parquet(os.path.join(d["in"], "b0.parquet"), index=False)
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType(), False),
+                           T.StructField("text", T.StringType(), True)])
+
+    def run_stream():
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("path", d["in"])
+                  .option("maxFilesPerTrigger", "1").load())
+        q = incremental.start_incremental_dedup_stream(
+            stream, store, d["pairs"], d["ckpt"], n_partitions=4,
+            base_version=0)
+        q.awaitTermination(180)
+
+    run_stream()
+    idx, ver = index_store.read_index(spark, store)
+    assert ver == 1                      # batch 0 -> version 0+0+1
+    assert {r.id for r in idx.select("id").collect()} == {1, 2}  # 3 deduped
+
+    # batch 1: near-dup of surviving doc 2 + a fresh doc
+    _doc_pdf([(10, _words("b")[1:]), (11, _words("c"))]) \
+        .to_parquet(os.path.join(d["in"], "b1.parquet"), index=False)
+    run_stream()                         # checkpoint resumes at batch 1
+    idx2, ver2 = index_store.read_index(spark, store)
+    assert ver2 == 2
+    assert {r.id for r in idx2.select("id").collect()} == {1, 2, 11}
+    pairs1 = spark.read.parquet(os.path.join(d["pairs"], "batch=1"))
+    assert {(r.index_id, r.batch_id) for r in pairs1.collect()} == {(2, 10)}
+
+
+def test_streaming_incremental_dedup_replay_idempotent(spark, tmp_path):
+    """Re-running a micro-batch (the crash-replay case, including AFTER its
+    publish landed) leaves the store at the same version with identical
+    contents and replaces — not duplicates — its pairs log."""
+    import os
+    from ocr_system_spark.plans import index_store
+    from ocr_system_spark.streaming import incremental
+
+    store = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    base = _docs_df(spark, [(1, _words("a")), (2, _words("b"))])
+    v = incremental.process_dedup_batch(base, 0, store, pairs_dir,
+                                        base_version=0, n_partitions=2)
+    assert v == 1
+    batch = _docs_df(spark, [(10, _words("a")[1:]), (11, _words("z"))])
+    v = incremental.process_dedup_batch(batch, 1, store, pairs_dir,
+                                        base_version=0, n_partitions=2)
+    assert v == 2
+    ids_after = {r.id for r in
+                 index_store.read_index(spark, store)[0].select("id").collect()}
+    assert ids_after == {1, 2, 11}
+
+    # replay batch 1 after its publish already landed
+    v = incremental.process_dedup_batch(batch, 1, store, pairs_dir,
+                                        base_version=0, n_partitions=2)
+    assert v == 2 and index_store.read_latest_version(store) == 2
+    idx, _ = index_store.read_index(spark, store)
+    assert {r.id for r in idx.select("id").collect()} == ids_after
+    assert idx.count() == 3              # no duplicated survivor rows
+    pairs1 = spark.read.parquet(os.path.join(pairs_dir, "batch=1"))
+    assert pairs1.count() == 1           # replaced, not appended
