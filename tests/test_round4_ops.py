@@ -283,3 +283,51 @@ def test_streaming_incremental_dedup_replay_idempotent(spark, tmp_path):
     assert idx.count() == 3              # no duplicated survivor rows
     pairs1 = spark.read.parquet(os.path.join(pairs_dir, "batch=1"))
     assert pairs1.count() == 1           # replaced, not appended
+
+
+# ---------------------------------------------------------------------------
+# edge cases: empty relations through the round-4 operators
+# ---------------------------------------------------------------------------
+
+def test_index_update_empty_batch_is_identity(spark, tmp_path):
+    from ocr_system_spark.plans import index_store
+    base = _docs_df(spark, [(1, _words("a")), (2, _words("b"))])
+    sig = dedup.minhash_signatures(base, "doc_id")
+    empty = sig.limit(0)
+    pairs = dedup.incremental_minhash_pairs(empty, sig,
+                                            include_batch_pairs=True)
+    nxt = dedup.update_minhash_index(sig, empty, pairs)
+    assert nxt.count() == 2
+    # and the store round-trips it
+    path = str(tmp_path / "s")
+    index_store.write_index_version(nxt, path, n_partitions=2)
+    got, v = index_store.read_index(spark, path)
+    assert v == 1 and got.count() == 2
+
+
+def test_index_update_all_docs_too_short(spark):
+    """Docs under the shingle size produce empty signature relations end
+    to end — no crash, no rows."""
+    shorty = _docs_df(spark, [(1, ["one", "two"]), (2, ["x"])])
+    sig = dedup.minhash_signatures(shorty, "doc_id")
+    assert sig.count() == 0
+    pairs = dedup.incremental_minhash_pairs(sig, sig,
+                                            include_batch_pairs=True)
+    assert pairs.count() == 0
+
+
+def test_keep_best_empty_inputs(spark):
+    from ocr_system_spark.operators.components import keep_best
+    scored = spark.createDataFrame([], "doc_id long, score long")
+    clusters = spark.createDataFrame([], "id long, comp long")
+    assert keep_best(scored, clusters, "score").count() == 0
+
+
+def test_ngram_guard_all_shingles_hot(spark):
+    """A corpus where EVERY shingle exceeds max_group (all docs identical)
+    ends with empty shingle sets — zero pairs, no crash, no div-by-zero."""
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit("same words every doc here").alias("text"))
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", min_jaccard_pct=50,
+                                    max_group=10, salt_cap=5)
+    assert out.count() == 0
