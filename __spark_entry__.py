@@ -833,6 +833,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_keep_best"] = q_dedup_keep_best
 
+    def q_decontaminate(spark, sf_dir):
+        """Benchmark decontamination audit: per-doc count of distinct
+        word-5-grams shared with a benchmark set (a deterministic
+        10-word excerpt of every 10th document — the planted leak). The
+        flag join is a BROADCAST semi-join on 64-bit shingle hashes, so
+        at corpus scale decontamination is one scan; the oracle recomputes
+        hits from string shingle sets."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.decontaminate import contamination_hits
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        bench = d.filter(F.col("doc_id") % 10 == 0).select(
+            F.array_join(F.slice(words, 3, 10), " ").alias("text"))
+        hits = contamination_hits(d, bench, n=5)
+        return hits.select("id", F.col("n_hits").cast("long").alias("n_hits"))
+
+    q["decontaminate"] = q_decontaminate
+
     def q_zscore_by_lang(spark, sf_dir):
         """Per-language standardization of doc length (the per-group
         calibration a curation pipeline applies before thresholding) —
@@ -1087,6 +1105,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_ngram_guarded",
     "dedup_index_update",
     "dedup_keep_best",
+    "decontaminate",
     # round-3 additions judge-verified but absent from the r02/r03 snapshots
     "model_extract",
     "repetition_stats",
@@ -2334,6 +2353,30 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY s.ws_tokens DESC, c.id) AS rn
             FROM comp c JOIN score s USING (id))
         SELECT id AS doc_id, comp, ws_tokens FROM ranked WHERE rn = 1
+    """
+
+    # decontamination oracle: string shingle sets (the hash-free ground
+    # truth), benchmark = words 3..12 of every 10th doc, n=5 — count of a
+    # doc's DISTINCT 5-grams present in the benchmark's 5-gram set.
+    o["decontaminate"] = r"""
+        WITH corp AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents),
+        csh AS (
+            SELECT doc_id AS id,
+                   list_distinct(list_transform(range(1, len(w) - 3),
+                                                i -> array_to_string(w[i:i+4], ' '))) AS s
+            FROM corp WHERE len(w) >= 5),
+        bw AS (SELECT w[3:12] AS v FROM corp WHERE doc_id % 10 = 0),
+        bsh AS (
+            SELECT DISTINCT array_to_string(v[i:i+4], ' ') AS s
+            FROM (SELECT v, unnest(range(1, len(v) - 3)) AS i
+                  FROM bw WHERE len(v) >= 5)),
+        hits AS (
+            SELECT id, unnest(s) AS s FROM csh)
+        SELECT id, count(*) AS n_hits
+        FROM hits JOIN bsh USING (s)
+        GROUP BY id
     """
 
     o["zscore_by_lang"] = """

@@ -331,3 +331,55 @@ def test_ngram_guard_all_shingles_hot(spark):
     out = dedup.ngram_jaccard_pairs(docs, "doc_id", min_jaccard_pct=50,
                                     max_group=10, salt_cap=5)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_removes_leaked_docs_only(spark):
+    from ocr_system_spark.operators.decontaminate import (contamination_hits,
+                                                          decontaminate)
+    corpus = _docs_df(spark, [
+        (1, _words("clean1")),
+        (2, _words("clean2")),
+        (3, _words("leak") + ["tail1", "tail2"]),        # contains benchmark
+        (4, ["pre"] + _words("leak")[2:9] + ["post"]),   # partial overlap ≥ n
+    ])
+    bench = _docs_df(spark, [(100, _words("leak"))]).select("text")
+    hits = {r.id: r.n_hits for r in
+            contamination_hits(corpus, bench, n=5).collect()}
+    assert set(hits) == {3, 4}
+    assert hits[3] >= 8 and hits[4] >= 3
+    kept = {r.doc_id for r in decontaminate(corpus, bench, n=5).collect()}
+    assert kept == {1, 2}
+
+
+def test_decontaminate_no_overlap_keeps_everything(spark):
+    from ocr_system_spark.operators.decontaminate import decontaminate
+    corpus = _docs_df(spark, [(1, _words("a")), (2, _words("b"))])
+    bench = _docs_df(spark, [(9, _words("other"))]).select("text")
+    assert decontaminate(corpus, bench, n=5).count() == 2
+
+
+def test_decontaminate_short_docs_never_flagged(spark):
+    """Docs shorter than n words have no n-grams — never contaminated."""
+    from ocr_system_spark.operators.decontaminate import contamination_hits
+    corpus = _docs_df(spark, [(1, ["leakw0", "leakw1"])])
+    bench = _docs_df(spark, [(9, _words("leak"))]).select("text")
+    assert contamination_hits(corpus, bench, n=5).count() == 0
+
+
+def test_decontaminate_plan_is_broadcast_semi(spark):
+    """The scale contract: the flag join must compile to a BROADCAST
+    LeftSemi hash join (the corpus side never shuffles for the flag) and
+    the whole audit carries no cartesian/nested-loop anywhere."""
+    from ocr_system_spark.operators.decontaminate import contamination_hits
+    corpus = _docs_df(spark, [(1, _words("a"))])
+    bench = _docs_df(spark, [(9, _words("b"))]).select("text")
+    plan = contamination_hits(corpus, bench, n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan              # corpus never shuffles to join
