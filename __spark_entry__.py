@@ -1070,6 +1070,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_chunks"] = q_doc_chunks
 
+    def q_pack_chunks(spark, sf_dir):
+        """Sequence packing over the chunk relation: 16-token chunks laid
+        into 64-token packs, shard-parallel (id % 8). Pure window+floor
+        arithmetic; the oracle replays chunking, the per-shard running
+        token count, and the grid cut."""
+        from ocr_system_spark.operators.chunking import (chunk_documents,
+                                                         pack_chunks)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        chunks = chunk_documents(d, chunk_tokens=16, stride=12)
+        return pack_chunks(chunks, budget=64, n_shards=8)
+
+    q["pack_chunks"] = q_pack_chunks
+
     def q_top_terms(spark, sf_dir):
         """Per-doc top-3 salient terms, integer-ranked (tf desc, corpus
         doc-frequency asc, term asc) — float-free tf-idf ordering."""
@@ -1106,6 +1119,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_index_update",
     "dedup_keep_best",
     "decontaminate",
+    "pack_chunks",
     # round-3 additions judge-verified but absent from the r02/r03 snapshots
     "model_extract",
     "repetition_stats",
@@ -1916,6 +1930,39 @@ def oracle_sql() -> dict[str, str]:
         FROM p
     """
 
+    # packing oracle: replay chunking, then the shard-local running token
+    # count in (id, chunk_id) order and the grid cut pack = cum//budget
+    o["pack_chunks"] = """
+        WITH w0 AS (
+            SELECT doc_id AS id,
+                   regexp_extract_all(text, '[^\t\n\f\r ]+') AS w
+            FROM documents),
+        b AS (SELECT id, w, len(w) AS n FROM w0 WHERE len(w) > 0),
+        c AS (
+            SELECT id, w, n,
+                   unnest(range(0, CASE WHEN n <= 16 THEN 1
+                                        ELSE 1 + (n - 16 + 11) // 12
+                                   END)) AS chunk_id
+            FROM b),
+        p AS (
+            SELECT id, chunk_id,
+                   len(w[CAST(chunk_id*12 + 1 AS INTEGER):CAST(chunk_id*12 + 16 AS INTEGER)]) AS n_tokens
+            FROM c),
+        s AS (
+            SELECT id, chunk_id, n_tokens, id % 8 AS shard FROM p),
+        cum AS (
+            SELECT id, chunk_id, shard,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+            FROM s)
+        SELECT id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(shard AS BIGINT) AS shard,
+               CAST(shard * 1099511627776 + cum_before // 64 AS BIGINT) AS pack_id,
+               CAST(cum_before % 64 AS BIGINT) AS pack_offset
+        FROM cum
+    """
     o["top_terms"] = """
         WITH tok AS (
             SELECT doc_id AS id,

@@ -70,3 +70,59 @@ def chunk_documents(
             F.size("piece").cast("long").alias("n_tokens"),
         )
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 256,
+    n_shards: int = 64,
+    id_col: str = "id",
+    chunk_id_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence PACKING — the tokenization-side twin of ``chunk_documents``:
+    assign chunks to fixed-token-budget packs (training examples), the step
+    every LLM data pipeline runs between curation and tokenization so short
+    documents don't waste context length as padding.
+
+    Contract (deterministic, shard-parallel, SQL-replayable):
+      * chunks are sharded by ``id % n_shards`` — packing is local to a
+        shard, so the only shuffle is one hash partition by shard and NO
+        global ordering exists (a global greedy pack would serialize the
+        corpus through one task; per-shard packing is what production
+        pipelines do, trading nothing because packs are independent);
+      * within a shard, chunks are laid out in (id, chunk_id) order and
+        cut into packs at running-token-count boundaries:
+        pack = floor(cumulative_tokens_before / budget). A chunk whose
+        tokens straddle a boundary belongs to the pack its FIRST token
+        falls in, so a pack may overflow the budget by at most one
+        chunk's tokens — the standard "greedy fill, overflow one" packing
+        (downstream truncation/padding handles the remainder; an exact
+        bin-pack is NP-hard and not what pipelines run);
+      * pack ids are globally unique: (shard, local_pack) → one bigint.
+
+    Output: one row per chunk — (id, chunk_id, shard, pack_id,
+    pack_offset) where pack_offset is the chunk's token start within its
+    pack's running layout. Aggregate per pack downstream for pack-level
+    stats (fill rate, member count).
+    """
+    from pyspark.sql import Window as W
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    sharded = chunks.withColumn(
+        "shard", (F.col(id_col) % n_shards).cast("long"))
+    w = (W.partitionBy("shard").orderBy(id_col, chunk_id_col)
+         .rowsBetween(W.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        sharded.withColumn("cum_before", cum_before)
+        .select(
+            id_col, chunk_id_col, "shard",
+            (F.col("shard") * F.lit(1 << 40)
+             + F.floor(F.col("cum_before") / budget)).cast("long")
+            .alias("pack_id"),
+            F.pmod(F.col("cum_before"), F.lit(budget)).cast("long")
+            .alias("pack_offset"),
+        )
+    )

@@ -383,3 +383,50 @@ def test_decontaminate_plan_is_broadcast_semi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan              # corpus never shuffles to join
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_chunks_contract(spark):
+    """Packs fill greedily in (id, chunk_id) order per shard; a pack's
+    members are consecutive; overflow is bounded by one chunk; pack ids
+    are globally unique across shards."""
+    from ocr_system_spark.operators.chunking import pack_chunks
+    rows = [(i, 0, 30) for i in range(8)]           # 8 docs, 30 tokens each
+    chunks = spark.createDataFrame(
+        rows, "id long, chunk_id long, n_tokens long")
+    out = pack_chunks(chunks, budget=64, n_shards=2).toPandas() \
+        .sort_values(["shard", "id", "chunk_id"]).reset_index(drop=True)
+    # shard 0: ids 0,2,4,6 -> cum_before 0,30,60,90 -> packs 0,0,0,1
+    s0 = out[out["shard"] == 0]
+    assert list(s0["pack_id"] % (1 << 40)) == [0, 0, 0, 1]
+    assert list(s0["pack_offset"]) == [0, 30, 60, 26]
+    # shard 1 mirrors with distinct global pack ids
+    s1 = out[out["shard"] == 1]
+    assert set(s0["pack_id"]) & set(s1["pack_id"]) == set()
+    # every pack's token mass stays under budget + one chunk
+    merged = out.merge(chunks.toPandas(), on=["id", "chunk_id"])
+    mass = merged.groupby("pack_id")["n_tokens"].sum()
+    assert (mass <= 64 + 30).all()
+
+
+def test_pack_chunks_rejects_bad_budget(spark):
+    from ocr_system_spark.operators.chunking import pack_chunks
+    chunks = spark.createDataFrame([(1, 0, 5)],
+                                   "id long, chunk_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_chunks(chunks, budget=0)
+
+
+def test_pack_chunks_shard_parallel_plan(spark):
+    """The scale contract: ONE hash partition by shard, no global sort or
+    single-partition window."""
+    from ocr_system_spark.operators.chunking import pack_chunks
+    chunks = spark.createDataFrame([(1, 0, 5)],
+                                   "id long, chunk_id long, n_tokens long")
+    plan = pack_chunks(chunks, budget=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
