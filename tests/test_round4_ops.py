@@ -430,3 +430,31 @@ def test_pack_chunks_shard_parallel_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+def test_pack_chunks_matches_python_reference_random(spark):
+    """Seeded random chunk relation vs a transparent Python replay of the
+    packing contract (per-shard (id, chunk_id) order, running sum, grid
+    cut) — the no-Spark mirror of the DuckDB oracle."""
+    import numpy as np
+    from ocr_system_spark.operators.chunking import pack_chunks
+    rng = np.random.default_rng(42)
+    rows = []
+    for doc in rng.choice(200, size=80, replace=False):
+        for c in range(int(rng.integers(1, 4))):
+            rows.append((int(doc), c, int(rng.integers(1, 40))))
+    chunks = spark.createDataFrame(
+        rows, "id long, chunk_id long, n_tokens long")
+    got = {(r.id, r.chunk_id): (r.shard, r.pack_id, r.pack_offset)
+           for r in pack_chunks(chunks, budget=64, n_shards=4).collect()}
+
+    by_shard: dict = {}
+    for i, c, t in rows:
+        by_shard.setdefault(i % 4, []).append((i, c, t))
+    expect = {}
+    for shard, members in by_shard.items():
+        cum = 0
+        for i, c, t in sorted(members):
+            expect[(i, c)] = (shard, shard * (1 << 40) + cum // 64, cum % 64)
+            cum += t
+    assert got == expect

@@ -69,3 +69,30 @@ def test_simhash_tokenization_matches_re2(text):
     dk = con.execute(
         "SELECT regexp_extract_all(?, '[^\\t\\n\\f\\r ]+')", [text]).fetchone()[0]
     assert list(dk) == _SIMHASH_TOKEN_RE.findall(text)
+
+
+# ---------------------------------------------------------------------------
+# round 4: hashed-shingle sets vs string-shingle sets (the decontaminate /
+# dedup equivalence assumption, pinned on adversarial text)
+# ---------------------------------------------------------------------------
+
+@FUZZ
+@given(TEXTS, TEXTS)
+def test_hashed_shingle_overlap_equals_string_overlap(a, b):
+    """contamination_hits counts shared 64-bit shingle hashes; the oracle
+    counts shared shingle STRINGS. Equality holds unless blake2b-64
+    collides — pin it on unicode/whitespace soup for n=5 and n=3."""
+    from ocr_system_spark.operators.dedup import _hashed_shingles_one
+
+    for n in (3, 5):
+        def str_set(t):
+            w = t.split()
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+        def hash_set(t):
+            return set(_hashed_shingles_one(t.split(), n, {}).tolist())
+
+        sa, sb = str_set(a), str_set(b)
+        ha, hb = hash_set(a), hash_set(b)
+        assert len(ha) == len(sa) and len(hb) == len(sb)
+        assert len(ha & hb) == len(sa & sb)
