@@ -1083,6 +1083,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_chunks"] = q_pack_chunks
 
+    def q_host_cap(spark, sf_dir):
+        """Per-host document cap (the anti-dominance curation step): at
+        most 30 docs per synthetic host (doc_id % 7), chosen by the
+        deterministic md5 lottery. Output: every kept (doc_id, host)."""
+        from ocr_system_spark.operators.sampling import cap_per_group
+        d = tables.load(spark, sf_dir, "documents").select("doc_id")
+        hosts = d.select(
+            "doc_id",
+            F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+            .alias("host"))
+        return cap_per_group(hosts, "host", cap=30)
+
+    q["host_cap"] = q_host_cap
+
+    def q_hash_split(spark, sf_dir):
+        """Deterministic train/holdout split (2/16 expected holdout) from
+        md5(doc_id) — zero-shuffle assignment; verified via per-(lang,
+        split) counts."""
+        from ocr_system_spark.operators.sampling import with_split
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
+        return (with_split(d, holdout_sixteenths=2)
+                .groupBy("lang", "split")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    q["hash_split"] = q_hash_split
+
     def q_top_terms(spark, sf_dir):
         """Per-doc top-3 salient terms, integer-ranked (tf desc, corpus
         doc-frequency asc, term asc) — float-free tf-idf ordering."""
@@ -1120,6 +1146,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_keep_best",
     "decontaminate",
     "pack_chunks",
+    "host_cap",
+    "hash_split",
     # round-3 additions judge-verified but absent from the r02/r03 snapshots
     "model_extract",
     "repetition_stats",
@@ -1962,6 +1990,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(shard * 1099511627776 + cum_before // 64 AS BIGINT) AS pack_id,
                CAST(cum_before % 64 AS BIGINT) AS pack_offset
         FROM cum
+    """
+    # host-cap oracle: the same md5 lottery as a window rank
+    o["host_cap"] = """
+        SELECT doc_id, host FROM (
+            SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                   row_number() OVER (
+                       PARTITION BY 'h' || CAST(doc_id % 7 AS VARCHAR)
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 30
+    """
+    # split oracle: first hex digit of md5(id) below '2' → holdout
+    o["hash_split"] = """
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                    THEN 'holdout' ELSE 'train' END AS split,
+               count(*) AS n
+        FROM documents GROUP BY 1, 2
     """
     o["top_terms"] = """
         WITH tok AS (

@@ -458,3 +458,46 @@ def test_pack_chunks_matches_python_reference_random(spark):
             expect[(i, c)] = (shard, shard * (1 << 40) + cum // 64, cum % 64)
             cum += t
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling: per-group caps + hash split
+# ---------------------------------------------------------------------------
+
+def test_cap_per_group_deterministic_and_capped(spark):
+    from ocr_system_spark.operators.sampling import cap_per_group
+    rows = [(i, f"h{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    a = cap_per_group(df, "host", cap=5).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = cap_per_group(df.repartition(7), "host", cap=5).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)                            # partitioning-invariant
+    assert (a.groupby("host").size() == 5).all()
+    # small groups pass through whole
+    tiny = spark.createDataFrame([(1, "x")], "doc_id long, host string")
+    assert cap_per_group(tiny, "host", cap=5).count() == 1
+    with pytest.raises(ValueError):
+        cap_per_group(df, "host", cap=0)
+
+
+def test_cap_per_group_plan_map_side_prune(spark):
+    from ocr_system_spark.operators.sampling import cap_per_group
+    df = spark.createDataFrame([(1, "h")], "doc_id long, host string")
+    plan = cap_per_group(df, "host", cap=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_with_split_stable_and_fraction_sane(spark):
+    from ocr_system_spark.operators.sampling import with_split
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    out = with_split(df, holdout_sixteenths=2).toPandas()
+    frac = (out["split"] == "holdout").mean()
+    assert abs(frac - 2 / 16) < 0.03              # exact-in-expectation
+    # per-id assignment is a pure function: same ids -> same split always
+    again = with_split(df.repartition(13), holdout_sixteenths=2).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    with pytest.raises(ValueError):
+        with_split(df, holdout_sixteenths=16)
