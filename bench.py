@@ -148,6 +148,13 @@ def main() -> None:
         spark.catalog.clearCache()
         docs.cache().count()
 
+    # TWO untimed warm runs: this is the suite's most complex plan shape
+    # (fused kernel + banded self-join + verify joins) and measured JIT
+    # tiering keeps improving it through ~4 executions (2.37→1.67 s over 5
+    # standalone reps, round-4 probe) — a long-lived cluster runs the
+    # steady state, which is what the timed reps should see.
+    run_minhash()
+    reset_caches()
     run_minhash()
     reset_caches()
 
