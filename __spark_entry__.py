@@ -1263,6 +1263,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_freq"] = q_unigram_freq
 
+    def q_intra_doc_dup(spark, sf_dir):
+        """WITHIN-document duplicate-line stats (Gopher dup-line-fraction
+        family) over the lined documents — the boilerplate pool repeats
+        inside every long doc.  Row-local, zero-shuffle."""
+        from ocr_system_spark.operators.lines import intra_doc_dup_stats
+        return intra_doc_dup_stats(_lined_documents(spark, sf_dir))
+
+    q["intra_doc_dup"] = q_intra_doc_dup
+
     return _reorder_for_driver_window(q)
 
 
@@ -1280,6 +1289,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "template_strip",
     "c4_filters",
     "unigram_freq",
+    "intra_doc_dup",
     # round-4 additions (never driver-recorded)
     "dedup_ngram_guarded",
     "dedup_index_update",
@@ -2827,6 +2837,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, clean_text, n_lines, n_kept, has_brace, has_lorem,
                (NOT has_brace AND NOT has_lorem AND n_kept >= 3) AS c4_pass
         FROM docs
+    """
+
+    o["intra_doc_dup"] = f"""
+        WITH {_lined_cte},
+        nb AS (SELECT id, line FROM lines WHERE trim(line) <> ''),
+        a AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(length(line)) AS BIGINT) AS line_chars
+              FROM nb GROUP BY id),
+        d AS (SELECT id,
+                     CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                     CAST(sum(length(line)) AS BIGINT) AS distinct_line_chars
+              FROM (SELECT DISTINCT id, line FROM nb) GROUP BY id)
+        SELECT id, a.n_lines, d.n_distinct_lines,
+               a.line_chars, d.distinct_line_chars
+        FROM a JOIN d USING (id)
     """
 
     o["unigram_freq"] = """

@@ -16,6 +16,9 @@ Workloads:
 * embedding_topk — brute-force cosine top-5, 50 queries vs full corpus.
 * agg_pricing / multi_join / window_topk / ordered_concat — relational ops
   on the TPC-H-ish tables (lineitem 600k rows at sf0.1).
+* line_dedup / c4_filters — line-level curation (added round 4: the suite
+  TOTAL is not comparable to rounds <= 3; compare per-query, or subtract
+  these two from the total).
 """
 
 from __future__ import annotations
@@ -166,6 +169,21 @@ def main() -> None:
         dedup.exact_dedup_groups(docs.union(dup), "doc_id").count()
 
     timed("dedup_exact", run_exact)
+
+    # ---- line-level curation (round-4 additions) ---------------------------
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+
+    def run_line_dedup():
+        qmap["line_dedup"](spark, SF_DIR).count()
+
+    timed("line_dedup", run_line_dedup)
+
+    def run_c4_filters():
+        qmap["c4_filters"](spark, SF_DIR).count()
+
+    timed("c4_filters", run_c4_filters)
 
     # ---- similarity ---------------------------------------------------------
     emb = load(spark, SF_DIR, "embeddings")

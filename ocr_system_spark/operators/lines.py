@@ -241,6 +241,33 @@ def c4_clean(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def intra_doc_dup_stats(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText WITHIN-document repetition signal at line
+    granularity: how much of a document is lines repeated inside that same
+    document (rule family: "duplicate line fraction").  Complements the
+    cross-document passes above — a page of repeated menus is low-quality
+    even if no other document shares its lines.
+
+    Integer-exact outputs per doc: total / distinct non-blank line counts
+    and total / distinct line characters, so the two Gopher fractions
+    (dup-line fraction, dup-line-char fraction) derive exactly downstream.
+    Row-local JVM expression tree — no shuffle, no Python.
+    """
+    lines = F.filter(F.split(_text(text_col), "\n"),
+                     lambda l: F.trim(l) != "")
+    dist = F.array_distinct(lines)
+    chars = lambda xs: F.aggregate(  # noqa: E731
+        xs, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(dist).cast("long").alias("n_distinct_lines"),
+        chars(lines).alias("line_chars"),
+        chars(dist).alias("distinct_line_chars"),
+    )
+
+
 def unigram_freq_score(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Corpus-frequency document score — the integer-exact analog of

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ocr_system_spark.operators.lines import (
     c4_clean,
     hot_lines,
+    intra_doc_dup_stats,
     line_doc_frequency,
     remove_duplicate_lines,
     strip_template_lines,
@@ -181,6 +182,30 @@ class TestUnigramFreqScore:
         df = _docs(spark, [(0, "word"), (1, "   ")])
         ids = {r["id"] for r in unigram_freq_score(df).collect()}
         assert ids == {0}
+
+
+class TestIntraDocDupStats:
+    def test_counts_and_chars(self, spark):
+        # doc 0: "menu" x3 + "body text" -> 4 lines, 2 distinct
+        df = _docs(spark, [(0, "menu\nbody text\nmenu\nmenu"),
+                           (1, "only line")])
+        out = {r["id"]: r for r in intra_doc_dup_stats(df).collect()}
+        assert out[0]["n_lines"] == 4
+        assert out[0]["n_distinct_lines"] == 2
+        assert out[0]["line_chars"] == 3 * 4 + 9
+        assert out[0]["distinct_line_chars"] == 4 + 9
+        assert out[1]["n_lines"] == 1 and out[1]["n_distinct_lines"] == 1
+
+    def test_blank_lines_excluded_and_null_safe(self, spark):
+        df = spark.createDataFrame([(0, "a\n\n  \na"), (1, None)],
+                                   "doc_id long, text string")
+        out = {r["id"]: r for r in intra_doc_dup_stats(df).collect()}
+        assert out[0]["n_lines"] == 2 and out[0]["n_distinct_lines"] == 1
+        assert out[1]["n_lines"] == 0 and out[1]["line_chars"] == 0
+
+    def test_zero_shuffle_plan(self, spark):
+        df = _docs(spark, [(0, "x\nx")])
+        assert "Exchange" not in _plan(intra_doc_dup_stats(df))
 
 
 class TestNullText:
