@@ -1272,6 +1272,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["intra_doc_dup"] = q_intra_doc_dup
 
+    def q_bpe_train(spark, sf_dir):
+        """Distributed BPE merge training (8 merges) over the corpus
+        vocabulary — classic Sennrich algorithm, integer/string-exact
+        argmax (count DESC, lhs ASC, rhs ASC), one 1-row collect per
+        step.  The oracle replays all 8 training iterations in SQL."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.bpe import bpe_train_df
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return bpe_train_df(d, n_merges=8)
+
+    q["bpe_train"] = q_bpe_train
+
+    def q_bpe_encode(spark, sf_dir):
+        """BPE encoding with the 8 learned merges: per-doc exact token and
+        subword counts.  The merge chain compiles to one nested JVM
+        replace expression — row-local; oracle replays training AND the
+        encode chain."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.bpe import bpe_encode, bpe_train
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return bpe_encode(d, bpe_train(d, n_merges=8))
+
+    q["bpe_encode"] = q_bpe_encode
+
     return _reorder_for_driver_window(q)
 
 
@@ -1290,6 +1314,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "c4_filters",
     "unigram_freq",
     "intra_doc_dup",
+    "bpe_train",
+    "bpe_encode",
     # round-4 additions (never driver-recorded)
     "dedup_ngram_guarded",
     "dedup_index_update",
@@ -2852,6 +2878,85 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, a.n_lines, d.n_distinct_lines,
                a.line_chars, d.distinct_line_chars
         FROM a JOIN d USING (id)
+    """
+
+    # ---- BPE oracles: replay ALL training iterations (pair counts →
+    # deterministic argmax → literal separator-guarded replace) in SQL ---
+
+    def _bpe_cte(n: int) -> str:
+        parts = ["""
+        w AS (SELECT unnest(regexp_extract_all(
+                  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                  'abcdefghijklmnopqrstuvwxyz'),
+                  '[^\t\n\f\r ]+')) AS term
+              FROM documents),
+        v AS (SELECT term, count(*) AS cnt FROM w
+              WHERE NOT contains(term, chr(31)) GROUP BY term),
+        it0 AS MATERIALIZED (SELECT chr(31) || array_to_string(
+                    list_transform(range(1, length(term)+1),
+                                   i -> substr(term, CAST(i AS INTEGER), 1)),
+                    chr(31)) || chr(31) || '</w>' || chr(31) AS seq, cnt
+                FROM v)"""]
+        for k in range(n):
+            parts.append(f"""
+        p{k} AS MATERIALIZED (
+            SELECT syms[CAST(i AS INTEGER)] AS lhs,
+                   syms[CAST(i+1 AS INTEGER)] AS rhs,
+                   sum(cnt) AS pair_count
+            FROM (SELECT s0[2:len(s0)-1] AS syms, cnt,
+                         unnest(range(1, len(s0)-2)) AS i
+                  FROM (SELECT string_split(seq, chr(31)) AS s0, cnt
+                        FROM it{k}))
+            GROUP BY 1, 2),
+        b{k} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{k}
+                 ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+        it{k + 1} AS MATERIALIZED (
+            SELECT replace(seq,
+                       chr(31) || (SELECT lhs FROM b{k}) || chr(31)
+                               || (SELECT rhs FROM b{k}) || chr(31),
+                       chr(31) || (SELECT lhs FROM b{k})
+                               || (SELECT rhs FROM b{k}) || chr(31)) AS seq,
+                   cnt
+            FROM it{k})""")
+        return "WITH " + ",".join(parts)
+
+    _BPE_N = 8
+    _merge_rows = "\n            UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_id, lhs, rhs, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(_BPE_N))
+    o["bpe_train"] = f"""
+        {_bpe_cte(_BPE_N)}
+        SELECT * FROM (
+            {_merge_rows}
+        )
+    """
+
+    _enc = ("chr(31) || array_to_string("
+            "list_transform(range(1, length(term)+1), "
+            "i -> substr(term, CAST(i AS INTEGER), 1)), chr(31)) "
+            "|| chr(31) || '</w>' || chr(31)")
+    for _k in range(_BPE_N):
+        _enc = (f"replace({_enc}, "
+                f"chr(31) || (SELECT lhs FROM b{_k}) || chr(31) "
+                f"|| (SELECT rhs FROM b{_k}) || chr(31), "
+                f"chr(31) || (SELECT lhs FROM b{_k}) "
+                f"|| (SELECT rhs FROM b{_k}) || chr(31))")
+    o["bpe_encode"] = f"""
+        {_bpe_cte(_BPE_N)},
+        tokd AS (SELECT doc_id AS id,
+                        unnest(regexp_extract_all(
+                            translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                            'abcdefghijklmnopqrstuvwxyz'),
+                            '[^\t\n\f\r ]+')) AS term
+                 FROM documents),
+        tokf AS (SELECT id, term FROM tokd
+                 WHERE NOT contains(term, chr(31))),
+        enc AS (SELECT id, {_enc} AS seq FROM tokf)
+        SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(len(string_split(seq, chr(31))) - 2) AS BIGINT)
+               AS n_subwords
+        FROM enc GROUP BY id
     """
 
     o["unigram_freq"] = """
