@@ -1296,6 +1296,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_encode"] = q_bpe_encode
 
+    def q_quality_model_score(spark, sf_dir):
+        """Model-based quality filter plumbing (CCNet/fastText stage):
+        per-doc linear bag-of-words score with the deterministic md5 stub
+        weight — zero joins, one per-doc aggregation."""
+        from ocr_system_spark.operators.quality_model import (
+            hashed_linear_score)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return hashed_linear_score(d)
+
+    q["quality_model_score"] = q_quality_model_score
+
+    def q_quality_model_table_score(spark, sf_dir):
+        """The trained-weight-table scoring path: (term, weight) relation
+        (deterministic stand-in: weight = length(term) - 4) broadcast to
+        per-doc term frequencies; OOV tokens default to 0."""
+        from ocr_system_spark.operators.quality_model import linear_score
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = F.regexp_extract_all(
+            F.translate(F.col("text"),
+                        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                        "abcdefghijklmnopqrstuvwxyz"),
+            F.lit(r"[^\t\n\f\r ]+"), 0)
+        weights = (d.select(F.explode(toks).alias("term")).distinct()
+                   # every-3rd term left out of vocabulary → exercises the
+                   # OOV default-weight path
+                   .filter(F.length("term") % 3 != 0)
+                   .select("term",
+                           (F.length("term") - 4).cast("long")
+                           .alias("weight")))
+        return linear_score(d, weights)
+
+    q["quality_model_table_score"] = q_quality_model_table_score
+
     return _reorder_for_driver_window(q)
 
 
@@ -1316,6 +1349,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "intra_doc_dup",
     "bpe_train",
     "bpe_encode",
+    "quality_model_score",
+    "quality_model_table_score",
     # round-4 additions (never driver-recorded)
     "dedup_ngram_guarded",
     "dedup_index_update",
@@ -2957,6 +2992,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(len(string_split(seq, chr(31))) - 2) AS BIGINT)
                AS n_subwords
         FROM enc GROUP BY id
+    """
+
+    # hashed linear quality score: md5-hex stub weight replayed digit by
+    # digit (strpos over the hex alphabet — no numeric hex parsing)
+    _wdig = lambda i: (f"(strpos('0123456789abcdef', "  # noqa: E731
+                       f"substr(md5(term), {i}, 1)) - 1)")
+    _wexpr = (f"(({_wdig(1)} * 4096 + {_wdig(2)} * 256 + "
+              f"{_wdig(3)} * 16 + {_wdig(4)}) % 2001 - 1000)")
+    o["quality_model_score"] = f"""
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+')) AS term
+            FROM documents),
+        wt AS (SELECT id, CAST({_wexpr} AS BIGINT) AS w FROM tok)
+        SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w) AS BIGINT) AS score,
+               sum(w) >= 0 AS keep
+        FROM wt GROUP BY id
+    """
+
+    o["quality_model_table_score"] = """
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+')) AS term
+            FROM documents),
+        wt AS (SELECT DISTINCT term, CAST(length(term) - 4 AS BIGINT)
+                      AS weight
+               FROM tok WHERE length(term) % 3 <> 0),
+        tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term)
+        SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * coalesce(weight, 0)) AS BIGINT) AS score,
+               sum(tf * coalesce(weight, 0)) >= 0 AS keep
+        FROM tf LEFT JOIN wt USING (term)
+        GROUP BY id
     """
 
     o["unigram_freq"] = """

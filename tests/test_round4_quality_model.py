@@ -1,0 +1,69 @@
+"""Linear quality-model scoring (operators/quality_model.py)."""
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+
+from ocr_system_spark.operators.quality_model import (
+    hashed_linear_score,
+    linear_score,
+)
+
+
+def _stub_weight(term: str) -> int:
+    """Python mirror of stub_weight_expr for exactness checks."""
+    h = hashlib.md5(term.encode()).hexdigest()
+    return int(h[:4], 16) % 2001 - 1000
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+class TestHashedLinearScore:
+    def test_scores_match_python_mirror(self, spark):
+        df = _docs(spark, [(0, "The quick brown fox"), (1, "fox fox FOX")])
+        out = {r["id"]: r for r in hashed_linear_score(df).collect()}
+        s0 = sum(_stub_weight(t) for t in ["the", "quick", "brown", "fox"])
+        assert out[0]["score"] == s0 and out[0]["n_tokens"] == 4
+        assert out[1]["score"] == 3 * _stub_weight("fox")
+        assert out[1]["keep"] is (out[1]["score"] >= 0)
+
+    def test_threshold(self, spark):
+        df = _docs(spark, [(0, "a")])
+        s = _stub_weight("a")
+        r_lo = hashed_linear_score(df, threshold=s).collect()[0]
+        r_hi = hashed_linear_score(df, threshold=s + 1).collect()[0]
+        assert r_lo["keep"] is True and r_hi["keep"] is False
+
+    def test_null_doc_absent_and_no_join(self, spark):
+        df = _docs(spark, [(0, "x"), (1, None)])
+        assert {r["id"] for r in hashed_linear_score(df).collect()} == {0}
+        p = _plan(hashed_linear_score(df))
+        assert "Join" not in p, p
+
+
+class TestLinearScore:
+    def test_table_weights_with_oov_default(self, spark):
+        df = _docs(spark, [(0, "good good bad unknown")])
+        w = spark.createDataFrame(
+            [Row(term="good", weight=5), Row(term="bad", weight=-7)])
+        r = linear_score(df, w).collect()[0]
+        assert r["n_tokens"] == 4
+        assert r["score"] == 2 * 5 - 7 + 0
+        r2 = linear_score(df, w, default_weight=-100).collect()[0]
+        assert r2["score"] == 2 * 5 - 7 - 100
+
+    def test_broadcast_join_no_nested_loop(self, spark):
+        df = _docs(spark, [(0, "a b")])
+        w = spark.createDataFrame([Row(term="a", weight=1)])
+        p = _plan(linear_score(df, w))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
