@@ -1329,6 +1329,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_model_table_score"] = q_quality_model_table_score
 
+    def q_crawl_diff(spark, sf_dir):
+        """Cross-snapshot crawl diff: snapshot A = the corpus; snapshot
+        B drops every 7th doc (gone), rewrites every 5th's text
+        (changed), and adds +300000 copies of every 11th (added).  One
+        slim-column full-outer join; per-url status."""
+        from ocr_system_spark.operators.snapshots import crawl_diff
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        fp = F.md5(F.encode(F.col("text"), "UTF-8"))
+        a = d.select(F.col("doc_id").alias("url"), fp.alias("fp"))
+        b_changed = d.filter(F.col("doc_id") % 7 != 0).select(
+            F.col("doc_id").alias("url"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.md5(F.encode(F.concat(F.col("text"), F.lit(" v2")),
+                                  "UTF-8")))
+            .otherwise(fp).alias("fp"))
+        b_added = d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 300000).alias("url"), fp.alias("fp"))
+        return crawl_diff(a, b_changed.union(b_added), key_col="url")
+
+    q["crawl_diff"] = q_crawl_diff
+
     return _reorder_for_driver_window(q)
 
 
@@ -1351,6 +1372,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_encode",
     "quality_model_score",
     "quality_model_table_score",
+    "crawl_diff",
     # round-4 additions (never driver-recorded)
     "dedup_ngram_guarded",
     "dedup_index_update",
@@ -3032,6 +3054,24 @@ def oracle_sql() -> dict[str, str]:
                sum(tf * coalesce(weight, 0)) >= 0 AS keep
         FROM tf LEFT JOIN wt USING (term)
         GROUP BY id
+    """
+
+    o["crawl_diff"] = """
+        WITH a AS (SELECT doc_id AS url, md5(text) AS fp FROM documents),
+        b AS (
+            SELECT doc_id AS url,
+                   CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+                        ELSE md5(text) END AS fp
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 300000, md5(text)
+            FROM documents WHERE doc_id % 11 = 0)
+        SELECT coalesce(a.url, b.url) AS url,
+               CASE WHEN a.url IS NULL THEN 'added'
+                    WHEN b.url IS NULL THEN 'gone'
+                    WHEN a.fp = b.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.url = b.url
     """
 
     o["unigram_freq"] = """
