@@ -143,6 +143,12 @@ def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
     Applying merges in learn order over each word independently is the
     classic greedy BPE encoder (word-internal merges only, ``</w>``
     bounded), replayable by any SQL engine with literal replace.
+
+    Scope: the expression-chain form is for bounded merge tables (hundreds
+    — analysis/validation workloads, and the cross-engine oracle).  A
+    production 32k-merge vocabulary would blow up the expression tree;
+    that regime wants an Arrow-batched Pandas-UDF encoder with a
+    driver-broadcast merge trie — same contract, different kernel.
     """
     toks = F.regexp_extract_all(
         F.translate(F.coalesce(F.col(text_col), F.lit("")), _UPPER, _LOWER),
