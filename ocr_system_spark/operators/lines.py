@@ -22,6 +22,12 @@ Scale shape (100 TB):
   broadcasts the hot set — no second shuffle of the corpus.
 * Everything is a JVM expression or built-in aggregation — zero Python in
   the per-row path.
+
+Line boundary contract: lines are split on "\n" exactly.  CRLF input
+("\r\n") leaves a trailing "\r" on each line, so mixed-ending corpora
+should normalize endings upstream (one regexp_replace) or identical lines
+will not match across documents — same normalization discipline as the
+winnowing kernel's whitespace pinning.
 """
 
 from __future__ import annotations

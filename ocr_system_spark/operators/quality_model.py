@@ -80,7 +80,8 @@ def linear_score(df: DataFrame, weights: DataFrame,
                  default_weight: int = 0,
                  threshold: int = 0) -> DataFrame:
     """Per-document linear score against a trained (term, weight) relation
-    (integer weights — export a float model quantized).  Out-of-vocabulary
+    (integer weights — export a float model quantized; one row per term,
+    or the join fans out).  Out-of-vocabulary
     tokens take ``default_weight``.  The weight table is broadcast (linear
     text models are ≤ a few hundred MB quantized; for larger vocabularies
     drop the hint and let AQE shuffle the pre-aggregated token counts)."""
