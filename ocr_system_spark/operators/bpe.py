@@ -31,10 +31,15 @@ The sequence column is re-cached each step so lineage stays flat.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["bpe_train", "bpe_encode", "word_vocabulary"]
+__all__ = ["bpe_train", "bpe_encode", "bpe_encode_batched",
+           "word_vocabulary"]
 
 SEP = "\x1f"
 EOW = "</w>"
@@ -140,15 +145,21 @@ def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
     The merge chain compiles to ONE nested JVM ``replace`` expression per
     merge applied to each token's separator-encoded sequence — row-local,
     zero shuffle beyond the final per-doc aggregation, no Python.
-    Applying merges in learn order over each word independently is the
-    classic greedy BPE encoder (word-internal merges only, ``</w>``
-    bounded), replayable by any SQL engine with literal replace.
+
+    Semantics: SEQUENTIAL merge application — one leftmost-non-overlapping
+    pass per merge, in learn order, word-internal and ``</w>``-bounded.
+    This is deterministic and replayable by any SQL engine with literal
+    replace.  (The rank-priority re-scan encoder — subword-nmt
+    ``apply_bpe``, which re-checks earlier merges after later ones create
+    new adjacencies — can differ on words where a later merge recreates an
+    earlier pair; ``bpe_encode_batched`` implements the SAME sequential
+    semantics so the two encoders are bit-identical.)
 
     Scope: the expression-chain form is for bounded merge tables (hundreds
-    — analysis/validation workloads, and the cross-engine oracle).  A
-    production 32k-merge vocabulary would blow up the expression tree;
-    that regime wants an Arrow-batched Pandas-UDF encoder with a
-    driver-broadcast merge trie — same contract, different kernel.
+    — analysis/validation workloads, and the cross-engine oracle).  For a
+    production 32k-merge vocabulary the expression tree would blow up —
+    use ``bpe_encode_batched`` (Arrow-batched kernel, merge table shipped
+    once per worker).
     """
     toks = F.regexp_extract_all(
         F.translate(F.coalesce(F.col(text_col), F.lit("")), _UPPER, _LOWER),
@@ -166,3 +177,57 @@ def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
         .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
              F.sum("n_syms").cast("long").alias("n_subwords"))
     )
+
+
+def bpe_encode_batched(df: DataFrame,
+                       merges: list[tuple[int, str, str, int]],
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Production-scale BPE encoder: same contract and BIT-IDENTICAL
+    output as ``bpe_encode``, but the merge table ships once per worker
+    and each Arrow batch is encoded by a vectorized Python kernel with a
+    per-batch word cache — so a 32k-merge vocabulary costs a dict, not a
+    32k-deep expression tree.
+
+    Semantics are the same sequential merge application as ``bpe_encode``
+    (Python ``str.replace`` is leftmost non-overlapping, exactly like the
+    JVM/SQL replace), pinned by the parity test in test_round4_bpe.py.
+    """
+    patterns = [(SEP + l + SEP + r + SEP, SEP + l + r + SEP)
+                for _, l, r, _ in merges]
+    schema = T.StructType([
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("n_subwords", T.LongType(), False),
+    ])
+
+    tok_re = re.compile(_TOKEN_CLASS)
+    trans = str.maketrans(_UPPER, _LOWER)
+
+    @F.pandas_udf(schema)
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+
+        def word_syms(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                s = SEP + SEP.join(w) + SEP + EOW + SEP
+                for patt, repl in patterns:
+                    s = s.replace(patt, repl)
+                n = s.count(SEP) - 1
+                cache[w] = n
+            return n
+
+        nt, ns = [], []
+        for t in texts.tolist():
+            words = [w for w in tok_re.findall((t or "").translate(trans))
+                     if SEP not in w]
+            nt.append(len(words))
+            ns.append(sum(word_syms(w) for w in words))
+        return pd.DataFrame({"n_tokens": nt, "n_subwords": ns},
+                            index=texts.index)
+
+    out = df.select(F.col(id_col).alias("id"),
+                    udf(F.col(text_col)).alias("e"))
+    return (out.filter(F.col("e.n_tokens") > 0)
+            .select("id", F.col("e.n_tokens").alias("n_tokens"),
+                    F.col("e.n_subwords").alias("n_subwords")))

@@ -113,6 +113,31 @@ class TestBpeEncode:
         assert {r["id"] for r in bpe_encode(df, []).collect()} == {0}
 
 
+class TestBatchedEncoderParity:
+    def test_bit_identical_to_expression_encoder(self, spark):
+        from ocr_system_spark.operators.bpe import bpe_encode_batched
+        rows = [
+            (0, "low lower newest widest the quick brown fox"),
+            (1, "é中 ünïcôdé mixed ASCII and Ünï"),
+            (2, "aaa aa a aaaa"),
+            (3, None),
+            (4, "repeated repeated repeated word word"),
+            (5, "x"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        m = bpe_train(df, 8)
+        a = sorted(bpe_encode(df, m).collect())
+        b = sorted(bpe_encode_batched(df, m).collect())
+        assert a == b
+
+    def test_empty_merge_table(self, spark):
+        from ocr_system_spark.operators.bpe import bpe_encode_batched
+        df = spark.createDataFrame([(0, "ab c")], "doc_id long, text string")
+        a = sorted(bpe_encode(df, []).collect())
+        b = sorted(bpe_encode_batched(df, []).collect())
+        assert a == b
+
+
 class TestWordVocabulary:
     def test_lowercased_counts(self, spark):
         df = _df(spark, [(0, "The the THE cat")])
