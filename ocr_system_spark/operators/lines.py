@@ -145,7 +145,8 @@ def strip_template_lines(df: DataFrame, host_col: str,
                          min_frac_num: int = 1, min_frac_den: int = 2,
                          min_host_docs: int = 5,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         broadcast_templates: bool = True) -> DataFrame:
     """Remove per-host template lines: any line occurring in >=
     ``min_frac_num/min_frac_den`` of a host's documents, for hosts with at
     least ``min_host_docs`` documents.  The fraction is compared as
@@ -153,16 +154,24 @@ def strip_template_lines(df: DataFrame, host_col: str,
     threshold to diverge cross-engine.
 
     Output: (id, host, clean_text, n_lines, n_removed).  The template set
-    per host is tiny (a site has few boilerplate lines), so the removal
-    join broadcasts (host, line) pairs.
+    per host is tiny (a site has few boilerplate lines), but the TOTAL is
+    hosts × that — at a 10^12-document crawl with tens of millions of
+    hosts it can outgrow a broadcast.  ``broadcast_templates=False``
+    switches the removal join to a (host, line)-keyed shuffle join (both
+    sides already keyed; no skew — a host's template rows are few); the
+    default broadcast is right whenever the template relation fits the
+    usual ~8 GB broadcast ceiling.  Results are identical either way
+    (pinned in tests).
     """
     tmpl = template_line_doc_frequency(df, host_col, id_col, text_col)
-    hot = F.broadcast(
+    hot = (
         tmpl.filter(
             (F.col("host_docs") >= F.lit(min_host_docs))
             & (F.col("n_docs") * F.lit(min_frac_den)
                >= F.col("host_docs") * F.lit(min_frac_num)))
         .select("host", "line"))
+    if broadcast_templates:
+        hot = F.broadcast(hot)
     lines = df.select(
         F.col(id_col).alias("id"),
         F.col(host_col).alias("host"),

@@ -107,6 +107,16 @@ class TestStripTemplateLines:
         # small host keeps its template line
         assert out[5]["clean_text"] == "foot\nd0"
 
+    def test_shuffle_join_path_identical(self, spark):
+        df = self._hosted(spark, [
+            (0, "a", "foot\nc0"), (1, "a", "foot\nc1"), (2, "a", "foot\nc2"),
+            (3, "a", "c3"), (4, "a", "c4"),
+        ])
+        bc = sorted(strip_template_lines(df, host_col="host").collect())
+        sh = sorted(strip_template_lines(
+            df, host_col="host", broadcast_templates=False).collect())
+        assert bc == sh
+
     def test_fraction_is_integer_exact(self, spark):
         # 2 of 5 docs -> 2*2 >= 5*1 is false -> kept
         df = self._hosted(spark, [
