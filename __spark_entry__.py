@@ -1131,19 +1131,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- line-level curation (CCNet/C4-style; operators/lines.py) --------
 
-    def _lined_documents(spark, sf_dir):
-        """documents re-laid-out as LINED text: 6-token content lines with
-        a corpus-wide boilerplate pool line (3 variants) inserted after
-        every 2nd content line — the web-boilerplate shape line-level
-        dedup exists for.  Pure JVM expression tree, SQL-replayable."""
+    def _lined_base(spark, sf_dir, per_line, prepare=None, keep=("doc_id",)):
+        """Shared lined-document scaffolding: tokenize → drop empty →
+        6-token content-line count → flatten(per_line) → join with
+        newlines.  Each caller supplies only its per_line(i) -> array
+        lambda (and optionally extra columns via ``prepare``), so the
+        construction stays bit-identical to the ONE CTE chain its DuckDB
+        oracles replay."""
         d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
         b = (d.select(
                 "doc_id",
                 F.regexp_extract_all("text", F.lit(r"[^\t\n\f\r ]+"), 0)
                 .alias("w"))
              .withColumn("n", F.size("w")).filter(F.col("n") > 0))
+        if prepare is not None:
+            b = prepare(b)
         n_lines = (F.floor((F.col("n") - 1) / 6) + 1).cast("int")
+        lines = F.flatten(
+            F.transform(F.sequence(F.lit(0), n_lines - 1), per_line))
+        return b.select(*keep, F.array_join(lines, "\n").alias("text"))
 
+    def _lined_documents(spark, sf_dir):
+        """documents re-laid-out as LINED text: 6-token content lines with
+        a corpus-wide boilerplate pool line (3 variants) inserted after
+        every 2nd content line — the web-boilerplate shape line-level
+        dedup exists for.  Pure JVM expression tree, SQL-replayable."""
         def per_line(i):
             content = F.array_join(F.slice(F.col("w"), i * 6 + 1, 6), " ")
             boiler = F.concat(F.lit("shared boilerplate banner line "),
@@ -1151,9 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (F.when(i % 2 == 0, F.array(content, boiler))
                     .otherwise(F.array(content)))
 
-        lines = F.flatten(
-            F.transform(F.sequence(F.lit(0), n_lines - 1), per_line))
-        return b.select("doc_id", F.array_join(lines, "\n").alias("text"))
+        return _lined_base(spark, sf_dir, per_line)
 
     def q_line_hot(spark, sf_dir):
         """Corpus-wide duplicated-line report (CCNet signal): distinct
@@ -1180,16 +1190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Lined documents with a synthetic host (doc_id % 17) and a
         HOST-SPECIFIC template line inserted after every 3rd content line
         — the per-site footer/nav shape template stripping targets."""
-        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-        b = (d.select(
-                "doc_id",
-                F.regexp_extract_all("text", F.lit(r"[^\t\n\f\r ]+"), 0)
-                .alias("w"))
-             .withColumn("n", F.size("w")).filter(F.col("n") > 0)
-             .withColumn("host", F.concat(
-                 F.lit("h"), (F.col("doc_id") % 17).cast("string"))))
-        n_lines = (F.floor((F.col("n") - 1) / 6) + 1).cast("int")
-
         def per_line(i):
             content = F.array_join(F.slice(F.col("w"), i * 6 + 1, 6), " ")
             tmpl = F.concat(F.lit("host template "), F.col("host"),
@@ -1197,10 +1197,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (F.when(i % 3 == 0, F.array(content, tmpl))
                     .otherwise(F.array(content)))
 
-        lines = F.flatten(
-            F.transform(F.sequence(F.lit(0), n_lines - 1), per_line))
-        return b.select("doc_id", "host",
-                        F.array_join(lines, "\n").alias("text"))
+        return _lined_base(
+            spark, sf_dir, per_line,
+            prepare=lambda b: b.withColumn(
+                "host", F.concat(F.lit("h"),
+                                 (F.col("doc_id") % 17).cast("string"))),
+            keep=("doc_id", "host"))
 
     def q_template_strip(spark, sf_dir):
         """Per-host template stripping: lines in >= 1/2 of a host's
@@ -1220,13 +1222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Zero-shuffle row-local JVM expression tree — the 100-TB first-pass
         filter shape."""
         from ocr_system_spark.operators.lines import c4_clean
-        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-        b = (d.select(
-                "doc_id",
-                F.regexp_extract_all("text", F.lit(r"[^\t\n\f\r ]+"), 0)
-                .alias("w"))
-             .withColumn("n", F.size("w")).filter(F.col("n") > 0))
-        n_lines = (F.floor((F.col("n") - 1) / 6) + 1).cast("int")
 
         def per_line(i):
             content = F.array_join(F.slice(F.col("w"), i * 6 + 1, 6), " ")
@@ -1239,16 +1234,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (F.when(i % 5 == 2, F.array(line, js))
                     .otherwise(F.array(line)))
 
-        lines = F.flatten(
-            F.transform(F.sequence(F.lit(0), n_lines - 1), per_line))
-        text = F.array_join(lines, "\n")
+        built = _lined_base(spark, sf_dir, per_line)
+        text = F.col("text")
         text = F.when(F.col("doc_id") % 31 == 0,
                       F.concat(text, F.lit("\nlorem ipsum dolor sit amet.")))\
                 .otherwise(text)
         text = F.when(F.col("doc_id") % 29 == 0,
                       F.concat(text, F.lit("\nconfig { display } block.")))\
                 .otherwise(text)
-        built = b.select("doc_id", text.alias("text"))
+        built = built.select("doc_id", text.alias("text"))
         return c4_clean(built, min_line_words=5, min_kept_lines=3)
 
     q["c4_filters"] = q_c4_filters
@@ -1311,14 +1305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """The trained-weight-table scoring path: (term, weight) relation
         (deterministic stand-in: weight = length(term) - 4) broadcast to
         per-doc term frequencies; OOV tokens default to 0."""
+        from ocr_system_spark.functions.tokens import lower_ascii_tokens
         from ocr_system_spark.operators.quality_model import linear_score
         d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-        toks = F.regexp_extract_all(
-            F.translate(F.col("text"),
-                        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
-                        "abcdefghijklmnopqrstuvwxyz"),
-            F.lit(r"[^\t\n\f\r ]+"), 0)
-        weights = (d.select(F.explode(toks).alias("term")).distinct()
+        weights = (d.select(F.explode(lower_ascii_tokens(F.col("text")))
+                            .alias("term")).distinct()
                    # every-3rd term left out of vocabulary → exercises the
                    # OOV default-weight path
                    .filter(F.length("term") % 3 != 0)
@@ -1344,8 +1335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    F.md5(F.encode(F.concat(F.col("text"), F.lit(" v2")),
                                   "UTF-8")))
             .otherwise(fp).alias("fp"))
+        # negative ids can never collide with real doc_ids at ANY sf
+        # (doc_ids are non-negative), keeping both snapshots unique-per-key
+        # as crawl_diff's contract requires
         b_added = d.filter(F.col("doc_id") % 11 == 0).select(
-            (F.col("doc_id") + 300000).alias("url"), fp.alias("fp"))
+            (-F.col("doc_id") - 1).alias("url"), fp.alias("fp"))
         return crawl_diff(a, b_changed.union(b_added), key_col="url")
 
     q["crawl_diff"] = q_crawl_diff
@@ -2952,7 +2946,8 @@ def oracle_sql() -> dict[str, str]:
         it0 AS MATERIALIZED (SELECT chr(31) || array_to_string(
                     list_transform(range(1, length(term)+1),
                                    i -> substr(term, CAST(i AS INTEGER), 1)),
-                    chr(31)) || chr(31) || '</w>' || chr(31) AS seq, cnt
+                    chr(31) || chr(31)) || chr(31) || chr(31)
+                    || '</w>' || chr(31) AS seq, cnt
                 FROM v)"""]
         for k in range(n):
             parts.append(f"""
@@ -2962,7 +2957,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(cnt) AS pair_count
             FROM (SELECT s0[2:len(s0)-1] AS syms, cnt,
                          unnest(range(1, len(s0)-2)) AS i
-                  FROM (SELECT string_split(seq, chr(31)) AS s0, cnt
+                  FROM (SELECT string_split_regex(seq, chr(31) || '+')
+                               AS s0, cnt
                         FROM it{k}))
             GROUP BY 1, 2),
         b{k} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{k}
@@ -2970,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
         it{k + 1} AS MATERIALIZED (
             SELECT replace(seq,
                        chr(31) || (SELECT lhs FROM b{k}) || chr(31)
+                               || chr(31)
                                || (SELECT rhs FROM b{k}) || chr(31),
                        chr(31) || (SELECT lhs FROM b{k})
                                || (SELECT rhs FROM b{k}) || chr(31)) AS seq,
@@ -2991,11 +2988,13 @@ def oracle_sql() -> dict[str, str]:
 
     _enc = ("chr(31) || array_to_string("
             "list_transform(range(1, length(term)+1), "
-            "i -> substr(term, CAST(i AS INTEGER), 1)), chr(31)) "
-            "|| chr(31) || '</w>' || chr(31)")
+            "i -> substr(term, CAST(i AS INTEGER), 1)), "
+            "chr(31) || chr(31)) "
+            "|| chr(31) || chr(31) || '</w>' || chr(31)")
     for _k in range(_BPE_N):
         _enc = (f"replace({_enc}, "
                 f"chr(31) || (SELECT lhs FROM b{_k}) || chr(31) "
+                f"|| chr(31) "
                 f"|| (SELECT rhs FROM b{_k}) || chr(31), "
                 f"chr(31) || (SELECT lhs FROM b{_k}) "
                 f"|| (SELECT rhs FROM b{_k}) || chr(31))")
@@ -3011,8 +3010,8 @@ def oracle_sql() -> dict[str, str]:
                  WHERE NOT contains(term, chr(31))),
         enc AS (SELECT id, {_enc} AS seq FROM tokf)
         SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(len(string_split(seq, chr(31))) - 2) AS BIGINT)
-               AS n_subwords
+               CAST(sum(len(string_split_regex(seq, chr(31) || '+')) - 2)
+                    AS BIGINT) AS n_subwords
         FROM enc GROUP BY id
     """
 
@@ -3064,12 +3063,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE md5(text) END AS fp
             FROM documents WHERE doc_id % 7 <> 0
             UNION ALL
-            SELECT doc_id + 300000, md5(text)
+            SELECT -doc_id - 1, md5(text)
             FROM documents WHERE doc_id % 11 = 0)
         SELECT coalesce(a.url, b.url) AS url,
                CASE WHEN a.url IS NULL THEN 'added'
                     WHEN b.url IS NULL THEN 'gone'
-                    WHEN a.fp = b.fp THEN 'unchanged'
+                    WHEN a.fp IS NOT DISTINCT FROM b.fp THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM a FULL OUTER JOIN b ON a.url = b.url
     """

@@ -10,17 +10,24 @@ Algorithm (classic, word-type weighted):
      shuffle; every later step works on the vocabulary relation.
   2. each term becomes a symbol sequence: its characters plus a final
      end-of-word marker ``</w>``, encoded as ONE string with the unit
-     separator U+001F between and around symbols ("\\x1f c1 \\x1f c2 \\x1f
-     </w> \\x1f").  Terms containing the separator are dropped (impossible
-     for the pinned ASCII token alphabet; guarded anyway).
+     separator U+001F — ONE separator at each end, TWO between adjacent
+     symbols ("\\x1f c1 \\x1f\\x1f c2 \\x1f\\x1f </w> \\x1f").  Terms
+     containing the separator are dropped (impossible for the pinned
+     ASCII token alphabet; guarded anyway).
   3. per merge step: count adjacent symbol pairs weighted by term count
      (map-side-combined aggregation over vocabulary rows), pick the best
      pair — (count DESC, left ASC, right ASC), a deterministic integer/
-     string ordering — and merge every occurrence via literal
-     string replace.  ``replace`` is leftmost non-overlapping in both
-     Spark (UTF8String.replace) and standard SQL engines, which is
-     EXACTLY the classic algorithm's re.sub semantics — so an independent
-     engine replays training bit-for-bit.
+     string ordering — and merge every occurrence via ONE literal string
+     replace of "\\x1f l \\x1f\\x1f r \\x1f" with "\\x1f lr \\x1f".
+     ``replace`` is leftmost non-overlapping in Spark
+     (UTF8String.replace), Python str.replace, and standard SQL engines
+     alike; with the double-separator layout each match consumes only the
+     FIRST of the two separators bounding the next occurrence, so
+     consecutive occurrences ("abab", "aaaa") all merge — byte-for-byte
+     the classic algorithm's one-pass leftmost-disjoint merge (property-
+     checked against a from-scratch reference in test_round4_bpe.py; a
+     single-separator layout silently under-merges reduplicated words).
+     An independent engine replays training bit-for-bit.
 
 Scale shape (100 TB): corpus → vocabulary is one hash aggregation;
 each merge step shuffles vocabulary-sized pair counts (not corpus rows)
@@ -38,24 +45,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ocr_system_spark.functions.tokens import (
+    ASCII_LOWER as _LOWER,
+    ASCII_UPPER as _UPPER,
+    TOKEN_CLASS as _TOKEN_CLASS,
+    lower_ascii_tokens,
+)
+
 __all__ = ["bpe_train", "bpe_encode", "bpe_encode_batched",
            "word_vocabulary"]
 
 SEP = "\x1f"
 EOW = "</w>"
-_TOKEN_CLASS = "[^\t\n\f\r ]+"
-_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 
 def word_vocabulary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(term, cnt) — ASCII-lowercased pinned-alphabet tokens with corpus
     occurrence counts.  The one corpus-sized aggregation of BPE training."""
-    toks = F.regexp_extract_all(
-        F.translate(F.coalesce(F.col(text_col), F.lit("")), _UPPER, _LOWER),
-        F.lit(_TOKEN_CLASS), 0)
     return (
-        df.select(F.explode(toks).alias("term"))
+        df.select(F.explode(lower_ascii_tokens(F.col(text_col)))
+                  .alias("term"))
         .filter(~F.col("term").contains(SEP))
         .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -63,17 +72,18 @@ def word_vocabulary(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _initial_seq(term):
     """Separator-encoded initial symbol sequence of a term:
-    SEP c1 SEP c2 ... SEP </w> SEP."""
+    SEP c1 SEPSEP c2 SEPSEP ... SEPSEP </w> SEP (double separators
+    between symbols, singles at the ends)."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(term)),
         lambda i: term.substr(i, F.lit(1)))
-    return F.concat(F.lit(SEP), F.array_join(chars, SEP),
-                    F.lit(SEP), F.lit(EOW), F.lit(SEP))
+    return F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP),
+                    F.lit(SEP + SEP), F.lit(EOW), F.lit(SEP))
 
 
 def _pair_counts(vocab_seq: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts over (seq, cnt), weighted by cnt."""
-    s0 = F.split(F.col("seq"), SEP)
+    s0 = F.split(F.col("seq"), SEP + "+")   # regex: any separator run
     syms = F.slice(s0, 2, F.size(s0) - 2)   # drop boundary empties
     pairs = F.when(
         F.size(syms) >= 2,
@@ -118,7 +128,7 @@ def bpe_train(df: DataFrame, n_merges: int,
             merges.append((step, lhs, rhs, int(cnt)))
             nxt = vocab.select(
                 F.replace(F.col("seq"),
-                          F.lit(SEP + lhs + SEP + rhs + SEP),
+                          F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
                           F.lit(SEP + lhs + rhs + SEP)).alias("seq"),
                 "cnt").cache()
             nxt.count()
@@ -146,14 +156,16 @@ def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
     merge applied to each token's separator-encoded sequence — row-local,
     zero shuffle beyond the final per-doc aggregation, no Python.
 
-    Semantics: SEQUENTIAL merge application — one leftmost-non-overlapping
-    pass per merge, in learn order, word-internal and ``</w>``-bounded.
-    This is deterministic and replayable by any SQL engine with literal
-    replace.  (The rank-priority re-scan encoder — subword-nmt
-    ``apply_bpe``, which re-checks earlier merges after later ones create
-    new adjacencies — can differ on words where a later merge recreates an
-    earlier pair; ``bpe_encode_batched`` implements the SAME sequential
-    semantics so the two encoders are bit-identical.)
+    Semantics: SEQUENTIAL merge application — one classic leftmost-
+    disjoint pass per merge, in learn order, word-internal and
+    ``</w>``-bounded — deterministic and replayable by any SQL engine
+    with literal replace (the double-separator layout makes literal
+    replace equal the classic one-pass merge; see the module docstring).
+    (The rank-priority re-scan encoder — subword-nmt ``apply_bpe``, which
+    re-checks earlier merges after later ones create new adjacencies —
+    can differ on words where a later merge recreates an earlier pair;
+    ``bpe_encode_batched`` implements the SAME sequential semantics so
+    the two encoders are bit-identical.)
 
     Scope: the expression-chain form is for bounded merge tables (hundreds
     — analysis/validation workloads, and the cross-engine oracle).  For a
@@ -161,16 +173,15 @@ def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
     use ``bpe_encode_batched`` (Arrow-batched kernel, merge table shipped
     once per worker).
     """
-    toks = F.regexp_extract_all(
-        F.translate(F.coalesce(F.col(text_col), F.lit("")), _UPPER, _LOWER),
-        F.lit(_TOKEN_CLASS), 0)
-    tok = (df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(lower_ascii_tokens(F.col(text_col)))
+                     .alias("term"))
            .filter(~F.col("term").contains(SEP)))
     enc = _initial_seq(F.col("term"))
     for _, lhs, rhs, _cnt in merges:
-        enc = F.replace(enc, F.lit(SEP + lhs + SEP + rhs + SEP),
+        enc = F.replace(enc, F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
                         F.lit(SEP + lhs + rhs + SEP))
-    n_syms = F.size(F.split(enc, SEP)) - 2
+    n_syms = F.size(F.split(enc, SEP + "+")) - 2
     return (
         tok.select("id", n_syms.alias("n_syms"))
         .groupBy("id")
@@ -193,7 +204,7 @@ def bpe_encode_batched(df: DataFrame,
     (Python ``str.replace`` is leftmost non-overlapping, exactly like the
     JVM/SQL replace), pinned by the parity test in test_round4_bpe.py.
     """
-    patterns = [(SEP + l + SEP + r + SEP, SEP + l + r + SEP)
+    patterns = [(SEP + l + SEP + SEP + r + SEP, SEP + l + r + SEP)
                 for _, l, r, _ in merges]
     schema = T.StructType([
         T.StructField("n_tokens", T.LongType(), False),
@@ -210,10 +221,10 @@ def bpe_encode_batched(df: DataFrame,
         def word_syms(w: str) -> int:
             n = cache.get(w)
             if n is None:
-                s = SEP + SEP.join(w) + SEP + EOW + SEP
+                s = SEP + (SEP + SEP).join(list(w) + [EOW]) + SEP
                 for patt, repl in patterns:
                     s = s.replace(patt, repl)
-                n = s.count(SEP) - 1
+                n = s.count(SEP) // 2
                 cache[w] = n
             return n
 

@@ -73,29 +73,12 @@ def hot_lines(df: DataFrame, min_docs: int, id_col: str = "doc_id",
         F.col("n_docs") >= F.lit(min_docs))
 
 
-def remove_duplicate_lines(df: DataFrame, min_docs: int,
-                           id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
-    """Rebuild each document without the lines that occur in >=
-    ``min_docs`` distinct documents (the CCNet duplicated-line pass).
-
-    Line order is preserved; blank lines survive (they carry formatting,
-    not content, and would otherwise all collide into one "hot" key).
-    Output: (id, clean_text, n_lines, n_removed).
-
-    The hot set is broadcast — bounded by occurrences/min_docs — so the
-    only corpus shuffle is the doc-frequency aggregation plus the
-    per-document rebuild (one hash aggregation on id).
-    """
-    hot = F.broadcast(
-        hot_lines(df, min_docs, id_col, text_col).select("line"))
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(_text(text_col), "\n")).alias("pos", "line"),
-    )
-    marked = lines.join(
-        hot.withColumn("_hot", F.lit(True)), on="line", how="left")
-    rebuilt = marked.groupBy("id").agg(
+def _rebuild(marked, group_cols: list[str]):
+    """Shared document-rebuild aggregation over a (pos, line, _hot)-marked
+    line relation: keep the un-hot lines in position order, count totals.
+    Both removal transforms delegate here so the rebuild semantics (blank
+    preservation, ordering, empty-result '' ) cannot diverge."""
+    rebuilt = marked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(F.col("_hot"), 1).otherwise(0)).alias("n_removed"),
         F.sort_array(
@@ -107,11 +90,41 @@ def remove_duplicate_lines(df: DataFrame, min_docs: int,
     clean = F.array_join(
         F.transform(F.col("_kept"), lambda s: s["line"]), "\n")
     return rebuilt.select(
-        "id",
+        *group_cols,
         clean.alias("clean_text"),
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_removed").cast("long").alias("n_removed"),
     )
+
+
+def remove_duplicate_lines(df: DataFrame, min_docs: int,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           broadcast_hot: bool = True) -> DataFrame:
+    """Rebuild each document without the lines that occur in >=
+    ``min_docs`` distinct documents (the CCNet duplicated-line pass).
+
+    Line order is preserved; blank lines survive (they carry formatting,
+    not content, and would otherwise all collide into one "hot" key).
+    Output: (id, clean_text, n_lines, n_removed).
+
+    The hot set is bounded by total_line_occurrences/min_docs and is
+    broadcast by default, so the only corpus shuffles are the
+    doc-frequency aggregation and the per-document rebuild.  At crawl
+    scale with a low ``min_docs`` that bound can still outgrow the
+    broadcast ceiling — ``broadcast_hot=False`` switches the mark join to
+    a line-keyed shuffle join (identical results, pinned in tests).
+    """
+    hot = hot_lines(df, min_docs, id_col, text_col).select("line")
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(_text(text_col), "\n")).alias("pos", "line"),
+    )
+    marked = lines.join(
+        hot.withColumn("_hot", F.lit(True)), on="line", how="left")
+    return _rebuild(marked, ["id"])
 
 
 def template_line_doc_frequency(df: DataFrame, host_col: str,
@@ -179,23 +192,7 @@ def strip_template_lines(df: DataFrame, host_col: str,
     )
     marked = lines.join(hot.withColumn("_hot", F.lit(True)),
                         on=["host", "line"], how="left")
-    rebuilt = marked.groupBy("id", "host").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.when(F.col("_hot"), 1).otherwise(0)).alias("n_removed"),
-        F.sort_array(
-            F.collect_list(
-                F.when(F.col("_hot").isNull(),
-                       F.struct(F.col("pos"), F.col("line"))))
-        ).alias("_kept"),
-    )
-    clean = F.array_join(
-        F.transform(F.col("_kept"), lambda s: s["line"]), "\n")
-    return rebuilt.select(
-        "id", "host",
-        clean.alias("clean_text"),
-        F.col("n_lines").cast("long").alias("n_lines"),
-        F.col("n_removed").cast("long").alias("n_removed"),
-    )
+    return _rebuild(marked, ["id", "host"])
 
 
 # ---------------------------------------------------------------------------
@@ -300,12 +297,8 @@ def unigram_freq_score(df: DataFrame, id_col: str = "doc_id",
     when the vocabulary fits; for web-scale vocabularies the join shuffles
     on term with both sides already aggregated.
     """
-    toks = F.regexp_extract_all(
-        F.translate(_text(text_col),
-                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
-                    "abcdefghijklmnopqrstuvwxyz"),
-        F.lit(r"[^\t\n\f\r ]+"), 0)
-    tok = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    from ocr_system_spark.functions.tokens import exploded_terms
+    tok = exploded_terms(df, id_col, text_col)
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("corpus_tf"))
     return (

@@ -27,19 +27,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ocr_system_spark.functions.tokens import exploded_terms as _tokens
+
 __all__ = ["linear_score", "hashed_linear_score", "stub_weight_expr"]
 
-_TOKEN_CLASS = "[^\t\n\f\r ]+"
-_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_LOWER = "abcdefghijklmnopqrstuvwxyz"
 _HEX = "0123456789abcdef"
-
-
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.regexp_extract_all(
-        F.translate(F.coalesce(F.col(text_col), F.lit("")), _UPPER, _LOWER),
-        F.lit(_TOKEN_CLASS), 0)
-    return df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
 
 
 def stub_weight_expr(term: Column) -> Column:
@@ -78,17 +70,20 @@ def hashed_linear_score(df: DataFrame, id_col: str = "doc_id",
 def linear_score(df: DataFrame, weights: DataFrame,
                  id_col: str = "doc_id", text_col: str = "text",
                  default_weight: int = 0,
-                 threshold: int = 0) -> DataFrame:
+                 threshold: int = 0,
+                 broadcast_weights: bool = True) -> DataFrame:
     """Per-document linear score against a trained (term, weight) relation
     (integer weights — export a float model quantized; one row per term,
-    or the join fans out).  Out-of-vocabulary
-    tokens take ``default_weight``.  The weight table is broadcast (linear
-    text models are ≤ a few hundred MB quantized; for larger vocabularies
-    drop the hint and let AQE shuffle the pre-aggregated token counts)."""
+    or the join fans out).  Out-of-vocabulary tokens take
+    ``default_weight``.  The weight table is broadcast by default (linear
+    text models are ≤ a few hundred MB quantized);
+    ``broadcast_weights=False`` shuffles the pre-aggregated token counts
+    on term instead, for vocabularies past the broadcast ceiling."""
     tok = _tokens(df, id_col, text_col)
     tf = tok.groupBy("id", "term").agg(
         F.count(F.lit(1)).alias("tf"))
-    joined = tf.join(F.broadcast(weights), on="term", how="left")
+    w_side = F.broadcast(weights) if broadcast_weights else weights
+    joined = tf.join(w_side, on="term", how="left")
     w = F.coalesce(F.col("weight"), F.lit(default_weight))
     return (
         joined.groupBy("id")

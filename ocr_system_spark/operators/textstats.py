@@ -160,13 +160,8 @@ def top_terms_by_tf(df: DataFrame, id_col: str = "doc_id",
     (term counts map-side-combine before shuffling) + a broadcast-or-
     shuffle join on term + one per-doc window over ≤ distinct-terms rows.
     """
-    toks = F.regexp_extract_all(
-        F.translate(F.col(text_col),
-                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
-                    "abcdefghijklmnopqrstuvwxyz"),
-        F.lit(r"[^\t\n\f\r ]+"), 0)
-    tok = df.select(F.col(id_col).alias("id"),
-                    F.explode(toks).alias("term"))
+    from ocr_system_spark.functions.tokens import exploded_terms
+    tok = exploded_terms(df, id_col, text_col)
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (tf.groupBy("term")
              .agg(F.count(F.lit(1)).alias("doc_freq")))

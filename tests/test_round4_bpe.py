@@ -113,6 +113,51 @@ class TestBpeEncode:
         assert {r["id"] for r in bpe_encode(df, []).collect()} == {0}
 
 
+class TestReduplicationMerges:
+    """The single-separator replace layout under-merged consecutive pair
+    occurrences (a match consumed the boundary separator of the next one):
+    'abab' became [ab, a, b] instead of [ab, ab].  The double-separator
+    layout fixes it; these tests pin classic behavior on exactly those
+    corpora."""
+
+    def test_abab_and_runs_match_classic(self, spark):
+        rows = [(0, "abab abab bobo bobo aaaa aaaa aaaaa murmur")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        words = rows[0][1].split()
+        for n in (1, 2, 4, 6):
+            assert bpe_train(df, n) == ref_bpe(words, n), n
+
+    def test_single_pass_merge_property(self):
+        """Separator-string replace == the classic leftmost-disjoint
+        one-pass merge, over randomized symbol runs (pure Python — the
+        same str.replace semantics the JVM and SQL engines share)."""
+        import random
+        SEP = "\x1f"
+
+        def classic(syms, l, r):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        rng = random.Random(7)
+        for _ in range(5000):
+            n = rng.randint(1, 8)
+            syms = [rng.choice("ab") * rng.randint(1, 2) for _ in range(n)]
+            l, r = rng.choice("ab"), rng.choice(["a", "b", "aa", "ab"])
+            s = SEP + (SEP + SEP).join(syms) + SEP
+            got = s.replace(SEP + l + SEP + SEP + r + SEP,
+                            SEP + l + r + SEP)
+            import re as _re
+            parts = _re.split("\x1f+", got)[1:-1]
+            assert parts == classic(syms, l, r), (syms, l, r)
+
+
 class TestBatchedEncoderParity:
     def test_bit_identical_to_expression_encoder(self, spark):
         from ocr_system_spark.operators.bpe import bpe_encode_batched

@@ -77,6 +77,13 @@ class TestRemoveDuplicateLines:
             once, min_docs=3, id_col="id", text_col="text").collect()
         assert all(r["n_removed"] == 0 for r in twice)
 
+    def test_shuffle_join_path_identical(self, spark):
+        df = _docs(spark, [(i, "common\nmine %d" % i) for i in range(4)])
+        bc = sorted(remove_duplicate_lines(df, min_docs=3).collect())
+        sh = sorted(remove_duplicate_lines(
+            df, min_docs=3, broadcast_hot=False).collect())
+        assert bc == sh
+
     def test_plan_broadcasts_hot_set_no_nested_loop(self, spark):
         df = _docs(spark, [(i, "common\nmine %d" % i) for i in range(4)])
         p = _plan(remove_duplicate_lines(df, min_docs=3))

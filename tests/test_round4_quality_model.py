@@ -60,6 +60,14 @@ class TestLinearScore:
         r2 = linear_score(df, w, default_weight=-100).collect()[0]
         assert r2["score"] == 2 * 5 - 7 - 100
 
+    def test_shuffle_join_path_identical(self, spark):
+        df = _docs(spark, [(0, "good good bad unknown")])
+        w = spark.createDataFrame(
+            [Row(term="good", weight=5), Row(term="bad", weight=-7)])
+        bc = sorted(linear_score(df, w).collect())
+        sh = sorted(linear_score(df, w, broadcast_weights=False).collect())
+        assert bc == sh
+
     def test_broadcast_join_no_nested_loop(self, spark):
         df = _docs(spark, [(0, "a b")])
         w = spark.createDataFrame([Row(term="a", weight=1)])
