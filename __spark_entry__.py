@@ -1344,6 +1344,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_diff"] = q_crawl_diff
 
+    def q_host_split(spark, sf_dir):
+        """HOST-DISJOINT train/holdout split (leakage prevention): the
+        split key is the host, not the document, so near-duplicate pages
+        from one site can never straddle the boundary — the eval-
+        contamination guard real pipelines pair with `hash_split`.
+        Zero-shuffle assignment; verified via per-split doc/host counts."""
+        from ocr_system_spark.operators.sampling import with_split
+        d = tables.load(spark, sf_dir, "documents")
+        hosted = d.select(
+            "doc_id",
+            F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string"))
+            .alias("host"))
+        out = with_split(hosted, id_col="host", holdout_sixteenths=2)
+        return out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"))
+
+    q["host_split"] = q_host_split
+
     return _reorder_for_driver_window(q)
 
 
@@ -1367,6 +1386,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "quality_model_score",
     "quality_model_table_score",
     "crawl_diff",
+    "host_split",
     # round-4 additions (never driver-recorded)
     "dedup_ngram_guarded",
     "dedup_index_update",
@@ -3071,6 +3091,19 @@ def oracle_sql() -> dict[str, str]:
                     WHEN a.fp IS NOT DISTINCT FROM b.fp THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM a FULL OUTER JOIN b ON a.url = b.url
+    """
+
+    o["host_split"] = """
+        WITH h AS (SELECT doc_id,
+                          'h' || CAST(doc_id % 17 AS VARCHAR) AS host
+                   FROM documents),
+        s AS (SELECT doc_id, host,
+                     CASE WHEN substr(md5(host), 1, 1) < '2'
+                          THEN 'holdout' ELSE 'train' END AS split
+              FROM h)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM s GROUP BY split
     """
 
     o["unigram_freq"] = """

@@ -77,16 +77,24 @@ class TestRemoveDuplicateLines:
             once, min_docs=3, id_col="id", text_col="text").collect()
         assert all(r["n_removed"] == 0 for r in twice)
 
-    def test_shuffle_join_path_identical(self, spark):
+    def test_all_rebuild_paths_identical(self, spark):
         df = _docs(spark, [(i, "common\nmine %d" % i) for i in range(4)])
-        bc = sorted(remove_duplicate_lines(df, min_docs=3).collect())
-        sh = sorted(remove_duplicate_lines(
-            df, min_docs=3, broadcast_hot=False).collect())
-        assert bc == sh
+        local = sorted(remove_duplicate_lines(df, min_docs=3).collect())
+        join = sorted(remove_duplicate_lines(
+            df, min_docs=3, rebuild="join").collect())
+        shuffle = sorted(remove_duplicate_lines(
+            df, min_docs=3, rebuild="join", broadcast_hot=False).collect())
+        assert local == join == shuffle
 
-    def test_plan_broadcasts_hot_set_no_nested_loop(self, spark):
+    def test_invalid_rebuild_mode_raises(self, spark):
+        df = _docs(spark, [(0, "x")])
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            remove_duplicate_lines(df, min_docs=2, rebuild="nope")
+
+    def test_join_plan_broadcasts_hot_set_no_nested_loop(self, spark):
         df = _docs(spark, [(i, "common\nmine %d" % i) for i in range(4)])
-        p = _plan(remove_duplicate_lines(df, min_docs=3))
+        p = _plan(remove_duplicate_lines(df, min_docs=3, rebuild="join"))
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p

@@ -1,7 +1,24 @@
-"""Cross-snapshot crawl diff (operators/snapshots.py)."""
+"""Cross-snapshot crawl diff (operators/snapshots.py) and the
+host-disjoint split composition."""
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from ocr_system_spark.operators.sampling import with_split
 from ocr_system_spark.operators.snapshots import crawl_diff, crawl_diff_counts
+
+
+class TestHostDisjointSplit:
+    def test_every_host_lands_in_exactly_one_split(self, spark):
+        df = spark.createDataFrame(
+            [(i, "h%d" % (i % 7)) for i in range(70)],
+            "doc_id long, host string")
+        out = with_split(df, id_col="host", holdout_sixteenths=2)
+        per_host = (out.groupBy("host")
+                    .agg(F.countDistinct("split").alias("k")).collect())
+        assert all(r["k"] == 1 for r in per_host)
+        assert {r["split"] for r in out.select("split").distinct().collect()} \
+            <= {"train", "holdout"}
 
 
 def _snap(spark, rows):
