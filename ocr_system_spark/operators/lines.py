@@ -32,6 +32,8 @@ winnowing kernel's whitespace pinning.
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -57,17 +59,23 @@ def _text(text_col: str) -> Column:
 
 
 def line_doc_frequency(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       line_sep: str = "\n") -> DataFrame:
     """Corpus-wide document frequency per distinct non-blank line.
 
     Returns (line, n_docs) — the CCNet-style signal from which both the
     duplicated-line report and the removal transform derive.  Two-level
     aggregation: (line, doc) distinct first (a doc repeating its own line
     counts once), then doc-count per line; both levels combine map-side.
+
+    ``line_sep`` picks the dedup granularity: "\n" for lines (default),
+    "\n\n" for PARAGRAPHS — the granularity CCNet actually dedups at.
+    The separator is matched literally.
     """
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(_text(text_col), "\n")).alias("line"),
+        F.explode(F.split(_text(text_col), _re.escape(line_sep)))
+        .alias("line"),
     ).filter(_nonblank(F.col("line")))
     per_doc = lines.groupBy("line", "id").agg(F.count(F.lit(1)).alias("_n"))
     return per_doc.groupBy("line").agg(
@@ -75,13 +83,14 @@ def line_doc_frequency(df: DataFrame, id_col: str = "doc_id",
 
 
 def hot_lines(df: DataFrame, min_docs: int, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              line_sep: str = "\n") -> DataFrame:
     """Lines duplicated across >= ``min_docs`` documents (line, n_docs)."""
-    return line_doc_frequency(df, id_col, text_col).filter(
+    return line_doc_frequency(df, id_col, text_col, line_sep).filter(
         F.col("n_docs") >= F.lit(min_docs))
 
 
-def _rebuild(marked, group_cols: list[str]):
+def _rebuild(marked, group_cols: list[str], line_sep: str = "\n"):
     """Shared document-rebuild aggregation over a (pos, line, _hot)-marked
     line relation: keep the un-hot lines in position order, count totals.
     Both removal transforms delegate here so the rebuild semantics (blank
@@ -96,7 +105,7 @@ def _rebuild(marked, group_cols: list[str]):
         ).alias("_kept"),
     )
     clean = F.array_join(
-        F.transform(F.col("_kept"), lambda s: s["line"]), "\n")
+        F.transform(F.col("_kept"), lambda s: s["line"]), line_sep)
     return rebuilt.select(
         *group_cols,
         clean.alias("clean_text"),
@@ -109,7 +118,8 @@ def remove_duplicate_lines(df: DataFrame, min_docs: int,
                            id_col: str = "doc_id",
                            text_col: str = "text",
                            broadcast_hot: bool = True,
-                           rebuild: str = "local") -> DataFrame:
+                           rebuild: str = "local",
+                           line_sep: str = "\n") -> DataFrame:
     """Rebuild each document without the lines that occur in >=
     ``min_docs`` distinct documents (the CCNet duplicated-line pass).
 
@@ -141,7 +151,7 @@ def remove_duplicate_lines(df: DataFrame, min_docs: int,
     if rebuild == "local":
         hot_set = {
             r["line"]
-            for r in hot_lines(df, min_docs, id_col, text_col)
+            for r in hot_lines(df, min_docs, id_col, text_col, line_sep)
                      .select("line").collect()
         }
         b = df.sparkSession.sparkContext.broadcast(hot_set)
@@ -151,9 +161,9 @@ def remove_duplicate_lines(df: DataFrame, min_docs: int,
             hot = b.value
             clean, n_lines, n_removed = [], [], []
             for t in texts.tolist():
-                ls = (t or "").split("\n")
+                ls = (t or "").split(line_sep)
                 kept = [l for l in ls if l not in hot]
-                clean.append("\n".join(kept))
+                clean.append(line_sep.join(kept))
                 n_lines.append(len(ls))
                 n_removed.append(len(ls) - len(kept))
             return pd.DataFrame({"clean_text": clean, "n_lines": n_lines,
@@ -164,16 +174,17 @@ def remove_duplicate_lines(df: DataFrame, min_docs: int,
                         rebuild_udf(F.col(text_col)).alias("r"))
         return out.select("id", "r.clean_text", "r.n_lines", "r.n_removed")
 
-    hot = hot_lines(df, min_docs, id_col, text_col).select("line")
+    hot = hot_lines(df, min_docs, id_col, text_col, line_sep).select("line")
     if broadcast_hot:
         hot = F.broadcast(hot)
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(_text(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(_text(text_col), _re.escape(line_sep)))
+        .alias("pos", "line"),
     )
     marked = lines.join(
         hot.withColumn("_hot", F.lit(True)), on="line", how="left")
-    return _rebuild(marked, ["id"])
+    return _rebuild(marked, ["id"], line_sep)
 
 
 def template_line_doc_frequency(df: DataFrame, host_col: str,

@@ -86,6 +86,33 @@ class TestRemoveDuplicateLines:
             df, min_docs=3, rebuild="join", broadcast_hot=False).collect())
         assert local == join == shuffle
 
+    def test_paragraph_granularity(self, spark):
+        """line_sep='\\n\\n' dedups PARAGRAPHS (the CCNet granularity):
+        a multi-line paragraph is one dedup unit, and single newlines
+        inside it survive removal of other paragraphs."""
+        para = "shared para line one\nshared para line two"
+        df = _docs(spark, [
+            (0, para + "\n\nunique zero"),
+            (1, para + "\n\nunique one"),
+            (2, para),
+        ])
+        out = {r["id"]: r for r in remove_duplicate_lines(
+            df, min_docs=3, line_sep="\n\n").collect()}
+        assert out[0]["clean_text"] == "unique zero"
+        assert out[0]["n_lines"] == 2 and out[0]["n_removed"] == 1
+        assert out[2]["clean_text"] == ""
+        # line granularity on the same corpus removes the two LINES
+        out_l = {r["id"]: r for r in remove_duplicate_lines(
+            df, min_docs=3).collect()}
+        assert out_l[0]["clean_text"] == "\nunique zero"
+        # join path agrees at paragraph granularity
+        out_j = {r["id"]: r for r in remove_duplicate_lines(
+            df, min_docs=3, line_sep="\n\n", rebuild="join").collect()}
+        assert {k: (v["clean_text"], v["n_removed"])
+                for k, v in out.items()} \
+            == {k: (v["clean_text"], v["n_removed"])
+                for k, v in out_j.items()}
+
     def test_invalid_rebuild_mode_raises(self, spark):
         df = _docs(spark, [(0, "x")])
         import pytest as _pytest
