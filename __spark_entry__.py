@@ -1363,6 +1363,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_split"] = q_host_split
 
+    def q_quality_tiers(spark, sf_dir):
+        """Quality-tier binning (FineWeb-style curriculum buckets): docs
+        scored by the hashed linear model, ntile(4) over the
+        deterministic (score, id) order."""
+        from ocr_system_spark.operators.quality_model import (
+            hashed_linear_score, quality_tiers)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return quality_tiers(hashed_linear_score(d), n_tiers=4)
+
+    q["quality_tiers"] = q_quality_tiers
+
     return _reorder_for_driver_window(q)
 
 
@@ -1387,6 +1398,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "quality_model_table_score",
     "crawl_diff",
     "host_split",
+    "quality_tiers",
     # round-4 additions (never driver-recorded)
     "dedup_ngram_guarded",
     "dedup_index_update",
@@ -3091,6 +3103,23 @@ def oracle_sql() -> dict[str, str]:
                     WHEN a.fp IS NOT DISTINCT FROM b.fp THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM a FULL OUTER JOIN b ON a.url = b.url
+    """
+
+    o["quality_tiers"] = f"""
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+')) AS term
+            FROM documents),
+        wt AS (SELECT id, CAST({_wexpr} AS BIGINT) AS w FROM tok),
+        scored AS (SELECT id, CAST(sum(w) AS BIGINT) AS score
+                   FROM wt GROUP BY id)
+        SELECT id, score,
+               CAST(ntile(4) OVER (ORDER BY score ASC, id ASC) AS INTEGER)
+               AS tier
+        FROM scored
     """
 
     o["host_split"] = """

@@ -67,6 +67,30 @@ def hashed_linear_score(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def quality_tiers(scored: DataFrame, score_col: str = "score",
+                  id_col: str = "id", n_tiers: int = 4) -> DataFrame:
+    """Bin scored documents into ``n_tiers`` equal-count quality tiers
+    (tier 1 = lowest score) — the FineWeb/CCNet-style bucketing that
+    feeds curriculum mixing and per-tier sampling rates.
+
+    Deterministic total order (score, then id) makes ntile reproducible
+    across engines, partitionings, and reruns.  One global sort — the
+    same single-total-order shape as any ranking sink; for corpora where
+    a global sort is unacceptable, bucket by precomputed score
+    thresholds instead (two passes: approx quantiles, then a map).
+    """
+    from pyspark.sql import Window as W
+
+    if n_tiers <= 0:
+        raise ValueError(f"n_tiers must be positive, got {n_tiers}")
+    w = W.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return scored.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+        F.ntile(n_tiers).over(w).cast("int").alias("tier"),
+    )
+
+
 def linear_score(df: DataFrame, weights: DataFrame,
                  id_col: str = "doc_id", text_col: str = "text",
                  default_weight: int = 0,

@@ -49,6 +49,33 @@ class TestHashedLinearScore:
         assert "Join" not in p, p
 
 
+class TestQualityTiers:
+    def test_equal_count_tiers_deterministic(self, spark):
+        from ocr_system_spark.operators.quality_model import quality_tiers
+        scored = spark.createDataFrame(
+            [(i, (i * 7) % 12) for i in range(12)], "id long, score long")
+        out = {r["id"]: r["tier"]
+               for r in quality_tiers(scored, n_tiers=4).collect()}
+        # 12 rows -> 3 per tier; lowest scores in tier 1
+        from collections import Counter
+        assert Counter(out.values()) == {1: 3, 2: 3, 3: 3, 4: 3}
+        by_score = sorted(range(12), key=lambda i: ((i * 7) % 12, i))
+        assert [out[i] for i in by_score] == [1, 1, 1, 2, 2, 2, 3, 3, 3,
+                                              4, 4, 4]
+        # ties broken by id -> stable across reruns/partitionings
+        out2 = {r["id"]: r["tier"]
+                for r in quality_tiers(scored.repartition(5),
+                                       n_tiers=4).collect()}
+        assert out == out2
+
+    def test_invalid_n_tiers(self, spark):
+        from ocr_system_spark.operators.quality_model import quality_tiers
+        import pytest as _pytest
+        scored = spark.createDataFrame([(0, 1)], "id long, score long")
+        with _pytest.raises(ValueError):
+            quality_tiers(scored, n_tiers=0)
+
+
 class TestLinearScore:
     def test_table_weights_with_oov_default(self, spark):
         df = _docs(spark, [(0, "good good bad unknown")])
