@@ -57,11 +57,24 @@ def read_index(spark: SparkSession, path: str) -> Tuple[DataFrame, int]:
     return spark.read.parquet(_version_dir(path, v)), v
 
 
+def read_index_version(spark: SparkSession, path: str,
+                       version: int) -> DataFrame:
+    """A SPECIFIC published version — the read replayed micro-batches use
+    (a replay must merge against its batch's own predecessor, not
+    whatever is latest after the crash).  Raises FileNotFoundError for a
+    never-written version."""
+    d = _version_dir(path, version)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"version {version} not present under {path}")
+    return spark.read.parquet(d)
+
+
 def write_index_version(
     df: DataFrame,
     path: str,
     version: Optional[int] = None,
     n_partitions: int = 64,
+    key_col: str = "id",
 ) -> int:
     """Write ``df`` as a new index version and atomically publish it.
 
@@ -73,7 +86,7 @@ def write_index_version(
         cur = read_latest_version(path)
         version = 1 if cur is None else cur + 1
     os.makedirs(path, exist_ok=True)
-    (df.repartition(n_partitions, "id")
+    (df.repartition(n_partitions, key_col)
        .write.mode("overwrite").parquet(_version_dir(path, version)))
     fd, tmp = tempfile.mkstemp(prefix=LATEST, dir=path)
     with os.fdopen(fd, "w") as f:
