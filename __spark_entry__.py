@@ -1374,6 +1374,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_tiers"] = q_quality_tiers
 
+    def q_tier_mixture(spark, sf_dir):
+        """Data MIXING: per-tier deterministic sampling rates over the
+        quality tiers (tier 1 kept at 2/16, tier 2 at 8/16, tiers 3-4
+        fully) — the md5-lottery rate filter composed on the tier
+        relation; zero additional shuffle."""
+        from ocr_system_spark.operators.quality_model import (
+            hashed_linear_score, quality_tiers)
+        from ocr_system_spark.operators.sampling import mixture_sample
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        tiers = quality_tiers(hashed_linear_score(d), n_tiers=4)
+        kept = mixture_sample(tiers, group_col="tier",
+                              rate_sixteenths={1: 2, 2: 8, 3: 16, 4: 16},
+                              id_col="id")
+        return kept.groupBy("tier").agg(
+            F.count(F.lit(1)).alias("n_kept"))
+
+    q["tier_mixture"] = q_tier_mixture
+
     return _reorder_for_driver_window(q)
 
 
@@ -1399,6 +1417,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "crawl_diff",
     "host_split",
     "quality_tiers",
+    "tier_mixture",
     # round-4 additions (never driver-recorded)
     "dedup_ngram_guarded",
     "dedup_index_update",
@@ -3120,6 +3139,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(ntile(4) OVER (ORDER BY score ASC, id ASC) AS INTEGER)
                AS tier
         FROM scored
+    """
+
+    o["tier_mixture"] = f"""
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+')) AS term
+            FROM documents),
+        wt AS (SELECT id, CAST({_wexpr} AS BIGINT) AS w FROM tok),
+        scored AS (SELECT id, CAST(sum(w) AS BIGINT) AS score
+                   FROM wt GROUP BY id),
+        tiers AS (
+            SELECT id,
+                   CAST(ntile(4) OVER (ORDER BY score ASC, id ASC)
+                        AS INTEGER) AS tier
+            FROM scored),
+        kept AS (
+            SELECT * FROM tiers
+            WHERE substr(md5(CAST(id AS VARCHAR)), 1, 1) <
+                  CASE tier WHEN 1 THEN '2' WHEN 2 THEN '8'
+                            ELSE 'g' END)
+        SELECT tier, CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY tier
     """
 
     o["host_split"] = """

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cap_per_group", "with_split", "md5_key"]
+__all__ = ["cap_per_group", "with_split", "mixture_sample", "md5_key"]
 
 
 def md5_key(col: Column) -> Column:
@@ -55,6 +55,39 @@ def cap_per_group(
     w = W.partitionBy(group_col).orderBy(md5_key(F.col(id_col)), id_col)
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap).drop("_rn"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rate_sixteenths: dict,
+    id_col: str = "doc_id",
+    default_sixteenths: int = 16,
+) -> DataFrame:
+    """Deterministic DATA-MIXING sampler: keep each row with a per-group
+    rate of ``rate_sixteenths[group]/16`` (16 = keep all) — the final
+    curation step that upsamples high-quality tiers / downsamples noisy
+    sources by exact, reproducible fractions.
+
+    Keep rule: first hex digit of md5(id) < rate — the same zero-shuffle
+    md5 lottery as ``with_split``, so mixing composes with splitting
+    (a row's lottery ticket is fixed forever) and a corpus rebuild on any
+    engine reproduces the identical sample.  Groups absent from the dict
+    take ``default_sixteenths``.  Pure map: no shuffle, no RNG.
+    """
+    for g, k in rate_sixteenths.items():
+        if not 0 <= k <= 16:
+            raise ValueError(f"rate for {g!r} must be in [0, 16], got {k}")
+    if not 0 <= default_sixteenths <= 16:
+        raise ValueError(
+            f"default_sixteenths must be in [0, 16], got {default_sixteenths}")
+    rate = F.lit(format(default_sixteenths, "x") if default_sixteenths < 16
+                 else "g")            # 'g' > 'f': keep everything
+    for g, k in sorted(rate_sixteenths.items(), key=lambda kv: str(kv[0])):
+        rate = F.when(F.col(group_col) == F.lit(g),
+                      F.lit(format(k, "x") if k < 16 else "g")) \
+                .otherwise(rate)
+    return df.filter(F.substring(md5_key(F.col(id_col)), 1, 1) < rate)
 
 
 def with_split(

@@ -76,6 +76,49 @@ class TestQualityTiers:
             quality_tiers(scored, n_tiers=0)
 
 
+class TestMixtureSample:
+    def test_rates_and_determinism(self, spark):
+        from ocr_system_spark.operators.sampling import mixture_sample
+        df = spark.createDataFrame(
+            [(i, 1 if i < 400 else 2) for i in range(800)],
+            "doc_id long, tier int")
+        kept = mixture_sample(df, "tier", {1: 0, 2: 16})
+        rows = kept.groupBy("tier").count().collect()
+        got = {r["tier"]: r["count"] for r in rows}
+        assert got == {2: 400}          # rate 0 drops all, 16 keeps all
+        # a mid rate keeps a deterministic md5-defined subset
+        half = mixture_sample(df, "tier", {1: 8, 2: 8})
+        ids1 = {r["doc_id"] for r in half.collect()}
+        ids2 = {r["doc_id"]
+                for r in mixture_sample(df.repartition(7), "tier",
+                                        {1: 8, 2: 8}).collect()}
+        assert ids1 == ids2 and 0 < len(ids1) < 800
+
+    def test_default_rate_and_validation(self, spark):
+        from ocr_system_spark.operators.sampling import mixture_sample
+        import pytest as _pytest
+        df = spark.createDataFrame([(1, 9)], "doc_id long, tier int")
+        # group 9 absent from dict -> default 16 -> kept
+        assert mixture_sample(df, "tier", {1: 4}).count() == 1
+        assert mixture_sample(df, "tier", {1: 4},
+                              default_sixteenths=0).count() == 0
+        with _pytest.raises(ValueError):
+            mixture_sample(df, "tier", {1: 17})
+
+    def test_composes_with_split(self, spark):
+        """The same md5 ticket drives split and mixing — a kept row's
+        split never changes when mixing rates change."""
+        from ocr_system_spark.operators.sampling import (mixture_sample,
+                                                         with_split)
+        df = spark.createDataFrame([(i, 1) for i in range(200)],
+                                   "doc_id long, tier int")
+        s = with_split(df, holdout_sixteenths=2)
+        kept = mixture_sample(s, "tier", {1: 8})
+        full = {r["doc_id"]: r["split"] for r in s.collect()}
+        for r in kept.collect():
+            assert full[r["doc_id"]] == r["split"]
+
+
 class TestLinearScore:
     def test_table_weights_with_oov_default(self, spark):
         df = _docs(spark, [(0, "good good bad unknown")])
