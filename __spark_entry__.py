@@ -1392,6 +1392,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_mixture"] = q_tier_mixture
 
+    def q_normalize_text(spark, sf_dir):
+        """Unicode text normalization (ftfy/CCNet-style pre-pass): CRLF,
+        zero-width chars, and decomposed codepoints planted per doc; the
+        oracle replays the replace chain + DuckDB's nfc_normalize."""
+        from ocr_system_spark.operators.normalize import normalize_text
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        # explicit escapes: DECOMPOSED e+COMBINING ACUTE / A+RING so
+        # NFC composes them; ZWSP between zw and sp
+        suffix = (
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" e\u0301"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" A\u030a"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" zw\u200bsp"))
+            .otherwise(F.lit(" x\r\ny")))
+        built = d.select(
+            "doc_id", F.concat(F.col("text"), suffix).alias("text"))
+        return normalize_text(built)
+
+    q["normalize_text"] = q_normalize_text
+
     return _reorder_for_driver_window(q)
 
 
@@ -1418,6 +1437,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "host_split",
     "quality_tiers",
     "tier_mixture",
+    "normalize_text",
     # round-4 additions (never driver-recorded)
     "dedup_ngram_guarded",
     "dedup_index_update",
@@ -3164,6 +3184,26 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'g' END)
         SELECT tier, CAST(count(*) AS BIGINT) AS n_kept
         FROM kept GROUP BY tier
+    """
+
+    o["normalize_text"] = """
+        WITH built AS (
+            SELECT doc_id,
+                   text || CASE doc_id % 4
+                       WHEN 0 THEN ' e' || chr(769)
+                       WHEN 1 THEN ' A' || chr(778)
+                       WHEN 2 THEN ' zw' || chr(8203) || 'sp'
+                       ELSE ' x' || chr(13) || chr(10) || 'y' END AS text
+            FROM documents)
+        SELECT doc_id AS id,
+               nfc_normalize(
+                   regexp_replace(
+                       regexp_replace(text, chr(13) || chr(10), chr(10),
+                                      'g'),
+                       '[' || chr(8203) || chr(8204) || chr(8205)
+                           || chr(65279) || ']', '', 'g')
+               ) AS norm_text
+        FROM built
     """
 
     o["host_split"] = """
