@@ -112,3 +112,31 @@ class TestHotLineStream:
         assert v2 == 2 and got2["menu"] == 3
         c1 = spark.read.parquet(os.path.join(d["clean"], "batch=1"))
         assert c1.collect()[0]["clean_text"] == "gamma"
+
+
+class TestEdgeCases:
+    def test_empty_microbatch_publishes_identical_counts(self, spark,
+                                                         tmp_path):
+        store = str(tmp_path / "store")
+        clean = str(tmp_path / "clean")
+        b0 = spark.createDataFrame([(1, "menu\nalpha"), (2, "menu\nbeta")],
+                                   "doc_id long, text string")
+        lines_hot.process_lines_batch(b0, 0, store, clean, base_version=0,
+                                      min_docs=2, n_partitions=2)
+        before, _ = _counts(spark, store)
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        v = lines_hot.process_lines_batch(empty, 1, store, clean,
+                                          base_version=0, min_docs=2,
+                                          n_partitions=2)
+        after, ver = _counts(spark, store)
+        assert v == ver == 2 and after == before
+
+    def test_empty_snapshots_crawl_diff(self, spark):
+        from ocr_system_spark.operators.snapshots import crawl_diff
+        e = spark.createDataFrame([], "url string, fp string")
+        assert crawl_diff(e, e).count() == 0
+        one = spark.createDataFrame([("a", "1")], "url string, fp string")
+        got = {r["url"]: r["status"] for r in crawl_diff(e, one).collect()}
+        assert got == {"a": "added"}
+        got2 = {r["url"]: r["status"] for r in crawl_diff(one, e).collect()}
+        assert got2 == {"a": "gone"}

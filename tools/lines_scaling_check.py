@@ -1,6 +1,6 @@
 """Scaling evidence for the SHUFFLE-heavy path: the duplicate-line
 removal job (two-level frequency aggregation + broadcast mark join +
-per-doc rebuild) at three parallelism levels on one box.
+per-doc rebuild) at two parallelism levels (the honest 2->8 gate span) on one box, for BOTH rebuild strategies.
 
 The north-rule gate evidence (BENCH/BASELINE.md) uses the fused
 extraction job — a map-dominated pipeline.  This tool runs the same
