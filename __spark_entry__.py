@@ -1411,6 +1411,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["normalize_text"] = q_normalize_text
 
+    def q_normalize_dedup(spark, sf_dir):
+        """Normalization's payoff composed end-to-end: +100000 copies of
+        every 10th doc carry DECOMPOSED accents (e+COMBINING ACUTE), so
+        raw md5 dedup misses them; after NFC normalization the exact
+        dedup groups them with their originals.  Output: per-group
+        (keep_id, n_copies) for the groups with duplicates."""
+        from ocr_system_spark.operators.normalize import normalize_text
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        tenth = d.filter(F.col("doc_id") % 10 == 0)
+        composed = F.concat(F.col("text"), F.lit(" caf\u00e9"))
+        decomposed = F.concat(F.col("text"), F.lit(" cafe\u0301"))
+        corpus = (
+            tenth.select("doc_id", composed.alias("text"))
+            .union(tenth.select((F.col("doc_id") + 100000).alias("doc_id"),
+                                decomposed.alias("text")))
+            .union(d.filter(F.col("doc_id") % 10 != 0)))
+        norm = normalize_text(corpus)
+        return (
+            norm.groupBy("norm_text")
+            .agg(F.min("id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .filter(F.col("n_copies") > 1)
+            .select("keep_id", "n_copies"))
+
+    q["normalize_dedup"] = q_normalize_dedup
+
     return _reorder_for_driver_window(q)
 
 
@@ -1438,6 +1464,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "quality_tiers",
     "tier_mixture",
     "normalize_text",
+    "normalize_dedup",
     # round-4 additions (never driver-recorded)
     "dedup_ngram_guarded",
     "dedup_index_update",
@@ -3204,6 +3231,22 @@ def oracle_sql() -> dict[str, str]:
                            || chr(65279) || ']', '', 'g')
                ) AS norm_text
         FROM built
+    """
+
+    o["normalize_dedup"] = """
+        WITH tenth AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 10 = 0),
+        corpus AS (
+            SELECT doc_id, text || ' caf' || chr(233) AS text FROM tenth
+            UNION ALL
+            SELECT doc_id + 100000, text || ' cafe' || chr(769) FROM tenth
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        norm AS (SELECT doc_id AS id, nfc_normalize(text) AS norm_text
+                 FROM corpus)
+        SELECT min(id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        FROM norm GROUP BY norm_text
+        HAVING count(*) > 1
     """
 
     o["host_split"] = """
