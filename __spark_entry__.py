@@ -1448,50 +1448,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the rest keep their registration order.  Rotate this list per round: once
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-4 line-curation additions (never driver-recorded)
-    "line_hot",
-    "line_dedup",
-    "template_strip",
-    "c4_filters",
-    "unigram_freq",
-    "intra_doc_dup",
-    "bpe_train",
-    "bpe_encode",
-    "quality_model_score",
-    "quality_model_table_score",
-    "crawl_diff",
-    "host_split",
-    "quality_tiers",
-    "tier_mixture",
-    "normalize_text",
-    "normalize_dedup",
-    # round-4 additions (never driver-recorded)
-    "dedup_ngram_guarded",
-    "dedup_index_update",
-    "dedup_keep_best",
-    "decontaminate",
-    "pack_chunks",
-    "host_cap",
-    "hash_split",
-    # round-3 additions judge-verified but absent from the r02/r03 snapshots
-    "model_extract",
-    "repetition_stats",
-    "gopher_quality",
-    "dedup_components",
-    "curation_pipeline",
-    "zscore_by_lang",
-    "quantiles",
-    "pii_scrub",
-    "timestamp_window",
-    "dup_spans",
-    "dup_span_mass",
-    "dup_span_removal",
-    "url_canon_dedup",
-    "dedup_incremental",
-    "ivf_train_topk",
-    "doc_chunks",
-    "top_terms",
-    "embedding_topk_int8",
+    # round-5 additions (never driver-recorded) — keep at the head
+    # (names appended here as round-5 queries are registered)
+    # round-3/4 queries whose latest driver row is r03 — promote so the
+    # r05 snapshot records them (the r04 window recorded the other half)
+    "agg_pricing",
+    "anti_join",
+    "asof_join",
+    "cube_counts",
+    "date_funcs",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_pairs",
+    "dedup_simhash",
+    "distinct_agg",
+    "dynamic_fields",
+    "embedding_dup_pairs",
+    "embedding_ivf_topk",
+    "embedding_lsh_topk",
+    "embedding_topk",
+    "fingerprint_md5",
+    "frame_sample",
+    "grouping_sets",
+    "join_broadcast",
+    "langid",
+    "left_join_enrich",
+    "media_resize",
+    "multi_join",
+    "multimodal_meta",
+    "nonempty_filter",
+    "ordered_concat",
+    "pivot_counts",
+    "quality_features",
+    "range_join",
+    "rollup",
+    "semi_join",
+    "sessionize",
+    "set_ops",
+    "sort_limit",
+    "static_fields_raw",
+    "string_funcs",
+    "token_counts",
+    "union_distinct",
+    "window_topk",
+    "winnow_fingerprint",
 ]
 
 

@@ -4,8 +4,8 @@ stripping, and C4-style line/document filters.
 Web-curation context (public pipelines: CCNet, C4, RefinedWeb): boilerplate
 on the web repeats at LINE granularity — nav menus, cookie banners,
 copyright footers — across millions of pages.  The reference system
-(MokshaDill/OCR-System) dedups whole files (`ocr/utils.py` duplicate-file
-removal); these operators extend that contract to the two intermediate
+(MokshaDill/OCR-System) dedups whole files (`ocr/pdf.py:23-27` duplicate-file
+removal; `ocr_utils.py` is a re-export shim); these operators extend that contract to the two intermediate
 granularities a 100-TB crawl needs: corpus-wide duplicated lines and
 per-host template lines.  Span-level (substring) dedup lives in
 `operators/spans.py`; whole-document dedup in `operators/dedup.py`.

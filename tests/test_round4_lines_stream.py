@@ -114,6 +114,68 @@ class TestHotLineStream:
         assert c1.collect()[0]["clean_text"] == "gamma"
 
 
+class TestBaseVersionPinning:
+    def test_default_base_is_pinned_and_survives_restart(self, spark,
+                                                         tmp_path):
+        """A restart of the same checkpoint must reuse the base the
+        batch-id sequence started with, NOT re-derive it from the store's
+        advanced latest (the silent count-discard path in round-4 ADVICE)."""
+        d = {k: str(tmp_path / k) for k in ["in", "clean", "ckpt"]}
+        os.makedirs(d["in"])
+        store = str(tmp_path / "store")
+
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["menu\nalpha", "menu\nbeta"]}) \
+            .to_parquet(os.path.join(d["in"], "b0.parquet"), index=False)
+
+        def run_stream():
+            stream = (spark.readStream.schema(SCHEMA).format("parquet")
+                      .option("path", d["in"])
+                      .option("maxFilesPerTrigger", "1").load())
+            q = lines_hot.start_hot_line_stream(
+                stream, store, d["clean"], d["ckpt"], min_docs=2,
+                n_partitions=2)          # base_version=None: default path
+            q.awaitTermination(180)
+
+        run_stream()
+        sidecar = os.path.join(d["ckpt"], lines_hot._BASE_VERSION_FILE)
+        assert os.path.exists(sidecar)
+        assert open(sidecar).read().strip() == "0"
+        _, v = _counts(spark, store)
+        assert v == 1                    # latest has ADVANCED past base
+
+        # restart same checkpoint with default base: batch 1 must merge
+        # against version 1 (= pinned 0 + batch 1), not latest + 1
+        pd.DataFrame({"doc_id": [3], "text": ["menu\ngamma"]}) \
+            .to_parquet(os.path.join(d["in"], "b1.parquet"), index=False)
+        run_stream()
+        got, v2 = _counts(spark, store)
+        assert v2 == 2 and got["menu"] == 3     # counts accumulated
+
+    def test_conflicting_explicit_base_raises(self, spark, tmp_path):
+        import pytest
+        ckpt = str(tmp_path / "ckpt")
+        store = str(tmp_path / "store")
+        assert lines_hot._load_or_pin_base_version(ckpt, store, None) == 0
+        with pytest.raises(ValueError, match="conflicts"):
+            lines_hot._load_or_pin_base_version(ckpt, store, 7)
+        # matching explicit value is fine
+        assert lines_hot._load_or_pin_base_version(ckpt, store, 0) == 0
+
+    def test_missing_noninitial_predecessor_fails_fast(self, spark,
+                                                       tmp_path):
+        """A hole in the version chain is corruption, not an empty
+        predecessor — merging against None would discard all counts."""
+        import pytest
+        store = str(tmp_path / "store")
+        clean = str(tmp_path / "clean")
+        b = _df(spark, [(1, "menu\nalpha")])
+        with pytest.raises(FileNotFoundError, match="missing version"):
+            lines_hot.process_lines_batch(
+                b, 3, store, clean, base_version=0, min_docs=2,
+                n_partitions=2)
+
+
 class TestEdgeCases:
     def test_empty_microbatch_publishes_identical_counts(self, spark,
                                                          tmp_path):
