@@ -1374,6 +1374,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_tiers"] = q_quality_tiers
 
+    def q_quality_tiers_bucketed(spark, sf_dir):
+        """Scale-safe quality-tier binning: the two-pass cutpoint form
+        (bounded score-distribution agg -> boundary (score,id) rows ->
+        map-side comparison chain) — NO corpus-wide sort or window.
+        Exact ntile parity by construction, so the oracle is the plain
+        ntile SQL: the mechanism is checked against independent
+        equal-count semantics rather than replayed."""
+        from ocr_system_spark.operators.quality_model import (
+            hashed_linear_score, quality_tiers_bucketed)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return quality_tiers_bucketed(hashed_linear_score(d), n_tiers=4)
+
+    q["quality_tiers_bucketed"] = q_quality_tiers_bucketed
+
     def q_tier_mixture(spark, sf_dir):
         """Data MIXING: per-tier deterministic sampling rates over the
         quality tiers (tier 1 kept at 2/16, tier 2 at 8/16, tiers 3-4
@@ -1449,7 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
-    # (names appended here as round-5 queries are registered)
+    "quality_tiers_bucketed",
     # round-3/4 queries whose latest driver row is r03 — promote so the
     # r05 snapshot records them (the r04 window recorded the other half)
     "agg_pricing",
@@ -3188,6 +3202,10 @@ def oracle_sql() -> dict[str, str]:
                AS tier
         FROM scored
     """
+
+    # Same SQL on purpose: the bucketed operator claims exact ntile parity,
+    # so the independent equal-count semantics ARE its oracle.
+    o["quality_tiers_bucketed"] = o["quality_tiers"]
 
     o["tier_mixture"] = f"""
         WITH tok AS (

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from ocr_system_spark.functions.tokens import exploded_terms as _tokens
 
-__all__ = ["linear_score", "hashed_linear_score", "stub_weight_expr"]
+__all__ = ["linear_score", "hashed_linear_score", "stub_weight_expr",
+           "quality_tiers", "quality_tiers_bucketed"]
 
 _HEX = "0123456789abcdef"
 
@@ -89,6 +90,98 @@ def quality_tiers(scored: DataFrame, score_col: str = "score",
         F.col(score_col).alias("score"),
         F.ntile(n_tiers).over(w).cast("int").alias("tier"),
     )
+
+
+def quality_tiers_bucketed(scored: DataFrame, score_col: str = "score",
+                           id_col: str = "id",
+                           n_tiers: int = 4) -> DataFrame:
+    """Equal-count quality tiers WITHOUT a global sort — the corpus-scale
+    form of :func:`quality_tiers`, bit-identical to it on any input
+    (exact ntile parity, including ties and the ntile remainder rule).
+
+    ``quality_tiers``'s single unpartitioned ntile window forces the
+    entire corpus through one task — fine for reports, fatal for the
+    10^12-doc FineWeb-style binning it exists for.  This variant is two
+    bounded passes plus a map:
+
+    1. Score distribution: ``groupBy(score).count()`` (map-side combined;
+       output bounded by the DISTINCT-SCORE domain, not the corpus — the
+       integer-exact scorers keep that domain small).  From the sorted
+       distribution the driver derives, for each of the ``n_tiers - 1``
+       ntile boundary RANKS, the boundary score and the within-score
+       offset of the boundary row.
+    2. Boundary ids: only rows whose score is a boundary score (≤
+       n_tiers - 1 values) pass a score-keyed ``row_number`` window to
+       resolve the id at each offset — the (score, id) cutpoint rows.
+    3. Assignment: ``tier = 1 + #cutpoints lexicographically below the
+       row`` — a pure map-side comparison chain, zero shuffle, no window,
+       no Exchange at all on the corpus (pinned by plan test).
+
+    Tie determinism matches ntile's (score, id) total order exactly:
+    cutpoints are half-open on the id at the boundary — a row equal to a
+    cutpoint stays in the lower tier, a row with the same score but a
+    larger id falls above it.
+
+    Scale notes: the driver holds the score distribution (use
+    ``approx_percentile``-seeded thresholds instead if the score domain
+    is unbounded floats); the pass-2 window partitions by score, so a
+    single massively-tied boundary score is the residual skew case; the
+    comparison chain is linear in ``n_tiers`` (for hundreds of tiers,
+    broadcast-range-join the cutpoint table instead)."""
+    if n_tiers <= 0:
+        raise ValueError(f"n_tiers must be positive, got {n_tiers}")
+    out_cols = [F.col(id_col).alias("id"), F.col(score_col).alias("score")]
+
+    dist = sorted(
+        scored.groupBy(F.col(score_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["s"])
+    n = sum(r["c"] for r in dist)
+    if n == 0 or n_tiers == 1:
+        return scored.select(*out_cols, F.lit(1).cast("int").alias("tier"))
+
+    # ntile boundary ranks: tier i (1-based) ends at rank i*base + min(i, rem)
+    base, rem = divmod(n, n_tiers)
+    bound_ranks = [min(i * base + min(i, rem), n)
+                   for i in range(1, n_tiers)]
+
+    # boundary rank -> (boundary score, 1-based offset within that score)
+    locs: list[tuple] = []
+    cum, j = 0, 0
+    for r in dist:
+        while j < len(bound_ranks) and bound_ranks[j] <= cum + r["c"]:
+            locs.append((r["s"], bound_ranks[j] - cum))
+            j += 1
+        cum += r["c"]
+
+    need: dict = {}
+    for s, off in locs:
+        need.setdefault(s, set()).add(off)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("s").orderBy(F.col("i").asc())
+    hit = None
+    for s, offs in need.items():
+        cond = (F.col("s") == F.lit(s)) & F.col("rn").isin(sorted(offs))
+        hit = cond if hit is None else (hit | cond)
+    cut_rows = (scored
+                .filter(F.col(score_col).isin(list(need)))
+                .select(F.col(score_col).alias("s"),
+                        F.col(id_col).alias("i"))
+                .select("s", "i", F.row_number().over(w).alias("rn"))
+                .filter(hit).collect())
+    id_at = {(r["s"], r["rn"]): r["i"] for r in cut_rows}
+    cutpoints = [(s, id_at[(s, off)]) for s, off in locs]
+
+    above = [
+        F.when((F.col(score_col) > F.lit(s))
+               | ((F.col(score_col) == F.lit(s))
+                  & (F.col(id_col) > F.lit(i))), 1).otherwise(0)
+        for s, i in cutpoints]
+    tier = above[0]
+    for a in above[1:]:
+        tier = tier + a
+    return scored.select(*out_cols,
+                         (tier + F.lit(1)).cast("int").alias("tier"))
 
 
 def linear_score(df: DataFrame, weights: DataFrame,

@@ -76,6 +76,74 @@ class TestQualityTiers:
             quality_tiers(scored, n_tiers=0)
 
 
+class TestQualityTiersBucketed:
+    """quality_tiers_bucketed must be bit-identical to the ntile form on
+    any input (ties included) while keeping the corpus assignment free of
+    windows and exchanges."""
+
+    def test_parity_with_ntile_under_ties(self, spark):
+        from ocr_system_spark.operators.quality_model import (
+            quality_tiers, quality_tiers_bucketed)
+        import random
+        rng = random.Random(11)
+        # heavy ties: 101 rows over only 7 distinct scores, n % t != 0
+        rows = [(i, rng.randint(-3, 3)) for i in range(101)]
+        scored = spark.createDataFrame(rows, "id long, score long")
+        for t in (2, 4, 5, 101, 150):     # includes t > n degenerates
+            a = {r["id"]: r["tier"]
+                 for r in quality_tiers(scored, n_tiers=t).collect()}
+            b = {r["id"]: r["tier"]
+                 for r in quality_tiers_bucketed(scored,
+                                                 n_tiers=t).collect()}
+            assert a == b, f"n_tiers={t}"
+
+    def test_parity_with_string_ids(self, spark):
+        from ocr_system_spark.operators.quality_model import (
+            quality_tiers, quality_tiers_bucketed)
+        rows = [(f"doc{i:03d}", (i * 7) % 4) for i in range(37)]
+        scored = spark.createDataFrame(rows, "id string, score long")
+        a = {r["id"]: r["tier"]
+             for r in quality_tiers(scored, n_tiers=4).collect()}
+        b = {r["id"]: r["tier"]
+             for r in quality_tiers_bucketed(scored, n_tiers=4).collect()}
+        assert a == b
+
+    def test_assignment_plan_has_no_window_or_exchange(self, spark,
+                                                       tmp_path):
+        """The scale claim itself: the returned corpus-side plan is a pure
+        map (scan + project) — no Window, no Exchange, in particular no
+        single-partition Exchange anywhere."""
+        from ocr_system_spark.operators.quality_model import (
+            quality_tiers_bucketed)
+        p = str(tmp_path / "scored")
+        spark.createDataFrame([(i, i % 5) for i in range(64)],
+                              "id long, score long") \
+            .write.parquet(p)
+        out = quality_tiers_bucketed(spark.read.parquet(p), n_tiers=4)
+        plan = _plan(out)
+        assert "Window" not in plan, plan
+        assert "Exchange" not in plan, plan
+
+    def test_empty_and_single_tier(self, spark):
+        from ocr_system_spark.operators.quality_model import (
+            quality_tiers_bucketed)
+        empty = spark.createDataFrame([], "id long, score long")
+        assert quality_tiers_bucketed(empty, n_tiers=4).count() == 0
+        one = spark.createDataFrame([(1, 5), (2, 9)],
+                                    "id long, score long")
+        got = {r["id"]: r["tier"]
+               for r in quality_tiers_bucketed(one, n_tiers=1).collect()}
+        assert got == {1: 1, 2: 1}
+
+    def test_invalid_n_tiers(self, spark):
+        from ocr_system_spark.operators.quality_model import (
+            quality_tiers_bucketed)
+        import pytest as _pytest
+        scored = spark.createDataFrame([(0, 1)], "id long, score long")
+        with _pytest.raises(ValueError):
+            quality_tiers_bucketed(scored, n_tiers=0)
+
+
 class TestMixtureSample:
     def test_rates_and_determinism(self, spark):
         from ocr_system_spark.operators.sampling import mixture_sample
