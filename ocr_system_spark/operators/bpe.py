@@ -9,11 +9,14 @@ Algorithm (classic, word-type weighted):
   1. vocabulary = (term, count) from the corpus — the ONLY corpus-sized
      shuffle; every later step works on the vocabulary relation.
   2. each term becomes a symbol sequence: its characters plus a final
-     end-of-word marker ``</w>``, encoded as ONE string with the unit
-     separator U+001F — ONE separator at each end, TWO between adjacent
-     symbols ("\\x1f c1 \\x1f\\x1f c2 \\x1f\\x1f </w> \\x1f").  Terms
-     containing the separator are dropped (impossible for the pinned
-     ASCII token alphabet; guarded anyway).
+     end-of-word marker U+001E (record separator), encoded as ONE string
+     with the unit separator U+001F — ONE separator at each end, TWO
+     between adjacent symbols ("\\x1f c1 \\x1f\\x1f c2 \\x1f\\x1f \\x1e
+     \\x1f").  Terms containing either control character are dropped, so
+     the marker can NEVER be assembled by merging real token characters
+     (a printable marker like ``</w>`` is constructible from an HTML-ish
+     corpus via ``<``+``/``+``w``+``>`` merges, silently conflating
+     word-interior content with word boundaries).
   3. per merge step: count adjacent symbol pairs weighted by term count
      (map-side-combined aggregation over vocabulary rows), pick the best
      pair — (count DESC, left ASC, right ASC), a deterministic integer/
@@ -52,27 +55,29 @@ from ocr_system_spark.functions.tokens import (
     lower_ascii_tokens,
 )
 
-__all__ = ["bpe_train", "bpe_encode", "bpe_encode_batched",
-           "word_vocabulary"]
+__all__ = ["bpe_train", "bpe_train_batched", "bpe_encode",
+           "bpe_encode_batched", "word_vocabulary"]
 
 SEP = "\x1f"
-EOW = "</w>"
+EOW = "\x1e"
 
 
 def word_vocabulary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(term, cnt) — ASCII-lowercased pinned-alphabet tokens with corpus
-    occurrence counts.  The one corpus-sized aggregation of BPE training."""
+    occurrence counts.  The one corpus-sized aggregation of BPE training.
+    Terms containing the separator or end-of-word control characters are
+    dropped (they would forge sequence structure)."""
     return (
         df.select(F.explode(lower_ascii_tokens(F.col(text_col)))
                   .alias("term"))
-        .filter(~F.col("term").contains(SEP))
+        .filter(~F.col("term").contains(SEP) & ~F.col("term").contains(EOW))
         .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def _initial_seq(term):
     """Separator-encoded initial symbol sequence of a term:
-    SEP c1 SEPSEP c2 SEPSEP ... SEPSEP </w> SEP (double separators
+    SEP c1 SEPSEP c2 SEPSEP ... SEPSEP EOW SEP (double separators
     between symbols, singles at the ends)."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(term)),
@@ -139,6 +144,114 @@ def bpe_train(df: DataFrame, n_merges: int,
     return merges
 
 
+def bpe_train_batched(df: DataFrame, n_merges: int,
+                      text_col: str = "text",
+                      max_batch: int = 32) -> list[tuple[int, str, str, int]]:
+    """``bpe_train`` with MANY merges applied per driver round — the
+    production path to a 32k-merge vocabulary.  BIT-IDENTICAL output to
+    sequential training on any corpus (property-pinned in
+    test_round4_bpe.py), with driver rounds collapsed from ``n_merges``
+    to roughly ``n_merges / batch``.
+
+    Why sequential training can't scale: each merge costs two
+    driver-orchestrated jobs (pair-count argmax + re-cache), so a 32k
+    vocabulary is ~64k job latencies regardless of cluster size.  This
+    variant collects the top ``max_batch + 1`` pairs per round and
+    accepts the longest sorted PREFIX that provably equals sequential
+    selection:
+
+    1. pairwise SYMBOL-DISJOINT — merging (l, r) only touches adjacencies
+       at its own occurrences, so counts of disjoint pairs are invariant
+       and their relative order is preserved;
+    2. NO SYMBOL COLLISION — an accepted merge's concatenation ``l + r``
+       must not equal any symbol already in play (initial alphabet ∪
+       prior merges ∪ this batch), else new-symbol pair counts would
+       blend with an existing pair's and could overtake a later accepted
+       pair (the driver tracks the full symbol inventory: every symbol is
+       initial or merge-created);
+    3. STRICT COUNT GAP — the last accepted count must strictly exceed
+       the first unaccepted count.  Counts never increase under a merge
+       (no adjacency between pre-existing symbols is ever created), and
+       every new pair's count is bounded by a conflicting old pair's, so
+       the gap guarantees no skipped or newly-created pair can reach the
+       accepted range; equal counts could (a new pair's lexicographic
+       rank is unrelated to its parent's), hence strict.
+
+    Scanning stops at the FIRST pair that violates 1 or 2 — pairs may not
+    be skipped, because a skipped-but-still-competitive pair could win a
+    later sequential step.  The accepted merges are disjoint, so their
+    replace patterns cannot overlap and one chained ``replace`` pass
+    applies them all; each keeps its original pair count, which is
+    exactly what sequential would have recorded.
+
+    Worst case (ties or cascading conflicts everywhere) degrades to one
+    merge per round — sequential's cost, never worse.  Typical Zipfian
+    corpora accept most of the batch (the volume check in
+    tools/bpe_volume_check.py measures the realized batch factor)."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if max_batch <= 0:
+        raise ValueError(f"max_batch must be positive, got {max_batch}")
+    vocab = word_vocabulary(df, text_col)
+    # the full symbol inventory starts as the term alphabet + EOW; one
+    # bounded job (distinct codepoints), then driver-maintained
+    symbols = {
+        r["c"] for r in vocab.select(
+            F.explode(F.split(F.col("term"), "")).alias("c"))
+        .distinct().collect() if r["c"]}
+    symbols.add(EOW)
+
+    seqs = vocab.select(_initial_seq(F.col("term")).alias("seq"),
+                        "cnt").cache()
+    seqs.count()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        while len(merges) < n_merges:
+            want = min(max_batch, n_merges - len(merges))
+            top = (_pair_counts(seqs)
+                   .orderBy(F.col("pair_count").desc(),
+                            F.col("lhs").asc(), F.col("rhs").asc())
+                   .limit(want + 1).collect())
+            if not top:
+                break
+            batch: list[tuple[str, str, int]] = []
+            used: set[str] = set()
+            stop_at = min(want, len(top))
+            for i in range(stop_at):
+                lhs, rhs = top[i]["lhs"], top[i]["rhs"]
+                if lhs in used or rhs in used or (lhs + rhs) in symbols:
+                    break
+                batch.append((lhs, rhs, int(top[i]["pair_count"])))
+                used.update((lhs, rhs, lhs + rhs))
+                symbols.add(lhs + rhs)
+            if not batch:
+                # the round's argmax itself collides with an existing
+                # symbol (counts will blend — exactly what sequential
+                # does); a single-merge round is trivially sequential
+                lhs, rhs = top[0]["lhs"], top[0]["rhs"]
+                batch.append((lhs, rhs, int(top[0]["pair_count"])))
+                symbols.add(lhs + rhs)
+            # strict-gap trim against the first pair NOT in the batch
+            while len(batch) > 1 and len(batch) < len(top) \
+                    and batch[-1][2] <= int(top[len(batch)]["pair_count"]):
+                _l, _r, _ = batch.pop()
+                symbols.discard(_l + _r)
+            for lhs, rhs, cnt in batch:
+                merges.append((len(merges) + 1, lhs, rhs, cnt))
+            nxt_seq = F.col("seq")
+            for lhs, rhs, _ in batch:
+                nxt_seq = F.replace(
+                    nxt_seq, F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
+                    F.lit(SEP + lhs + rhs + SEP))
+            nxt = seqs.select(nxt_seq.alias("seq"), "cnt").cache()
+            nxt.count()
+            seqs.unpersist()
+            seqs = nxt
+    finally:
+        seqs.unpersist()
+    return merges
+
+
 def bpe_train_df(df: DataFrame, n_merges: int,
                  text_col: str = "text") -> DataFrame:
     """``bpe_train`` as a DataFrame (merge_id, lhs, rhs, pair_count)."""
@@ -158,7 +271,7 @@ def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
 
     Semantics: SEQUENTIAL merge application — one classic leftmost-
     disjoint pass per merge, in learn order, word-internal and
-    ``</w>``-bounded — deterministic and replayable by any SQL engine
+    end-of-word-bounded — deterministic and replayable by any SQL engine
     with literal replace (the double-separator layout makes literal
     replace equal the classic one-pass merge; see the module docstring).
     (The rank-priority re-scan encoder — subword-nmt ``apply_bpe``, which
@@ -176,7 +289,8 @@ def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
     tok = (df.select(F.col(id_col).alias("id"),
                      F.explode(lower_ascii_tokens(F.col(text_col)))
                      .alias("term"))
-           .filter(~F.col("term").contains(SEP)))
+           .filter(~F.col("term").contains(SEP)
+                   & ~F.col("term").contains(EOW)))
     enc = _initial_seq(F.col("term"))
     for _, lhs, rhs, _cnt in merges:
         enc = F.replace(enc, F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
@@ -231,7 +345,7 @@ def bpe_encode_batched(df: DataFrame,
         nt, ns = [], []
         for t in texts.tolist():
             words = [w for w in tok_re.findall((t or "").translate(trans))
-                     if SEP not in w]
+                     if SEP not in w and EOW not in w]
             nt.append(len(words))
             ns.append(sum(word_syms(w) for w in words))
         return pd.DataFrame({"n_tokens": nt, "n_subwords": ns},

@@ -7,8 +7,10 @@ import collections
 import pytest
 
 from ocr_system_spark.operators.bpe import (
+    EOW,
     bpe_encode,
     bpe_train,
+    bpe_train_batched,
     bpe_train_df,
     word_vocabulary,
 )
@@ -18,7 +20,7 @@ def ref_bpe(words: list[str], n: int):
     """Reference implementation of classic word-type-weighted BPE with the
     engine's deterministic argmax (count DESC, lhs ASC, rhs ASC)."""
     vocab = collections.Counter(
-        tuple(w) + ("</w>",) for w in words)
+        tuple(w) + (EOW,) for w in words)
     merges = []
     for step in range(1, n + 1):
         pairs = collections.Counter()
@@ -65,18 +67,18 @@ class TestBpeTrain:
         assert bpe_train(df.repartition(7), 4) == bpe_train(df.coalesce(1), 4)
 
     def test_deterministic_tie_break(self, spark):
-        # "ab" and "cd" both appear twice: pairs (a,b,2) (b,</w>,2)
-        # (c,d,2) (d,</w>,2) all tie — (a,b) wins lexicographically
+        # "ab" and "cd" both appear twice: pairs (a,b,2) (b,EOW,2)
+        # (c,d,2) (d,EOW,2) all tie — (a,b) wins on lhs ASC
         df = _df(spark, [(0, "ab ab cd cd")])
         m = bpe_train(df, 1)
         assert m[0][1:3] == ("a", "b")
 
     def test_case_folding_and_exhaustion(self, spark):
         # single repeated word: merges exhaust once the word is one symbol.
-        # (h,a) and (a,</w>) tie at 3 — lhs ASC picks (a,</w>) first.
+        # (h,a) and (a,EOW) tie at 3 — lhs ASC picks (a,EOW) first.
         df = _df(spark, [(0, "Ha ha HA")])
         m = bpe_train(df, 10)
-        assert [(l, r) for _, l, r, _ in m] == [("a", "</w>"), ("h", "a</w>")]
+        assert [(l, r) for _, l, r, _ in m] == [("a", EOW), ("h", "a" + EOW)]
         words = ["ha", "ha", "ha"]
         assert m == ref_bpe(words, 10)
 
@@ -95,8 +97,8 @@ class TestBpeEncode:
         df = _df(spark)
         m = bpe_train(df, 6)
         out = {r["id"]: r for r in bpe_encode(df, m).collect()}
-        # after 6 merges: newest -> [newest</w>] (1), widest -> w,i,d,est</w>
-        # (4), low -> l,o,w,</w> (4), lower -> l,o,w,e,r,</w> (6)
+        # after 6 merges: newest -> [newest+EOW] (1), widest -> w,i,d,est+EOW
+        # (4), low -> l,o,w,EOW (4), lower -> l,o,w,e,r,EOW (6)
         assert out[0]["n_tokens"] == 10
         assert out[0]["n_subwords"] == 3 * 4 + 2 * 6 + 4 * 1 + 1 * 4
         assert out[1]["n_tokens"] == 4
@@ -181,6 +183,123 @@ class TestBatchedEncoderParity:
         a = sorted(bpe_encode(df, []).collect())
         b = sorted(bpe_encode_batched(df, []).collect())
         assert a == b
+
+
+class TestBatchedTrainerParity:
+    """bpe_train_batched must be BIT-IDENTICAL to sequential bpe_train —
+    the whole point of the strict acceptance rule (disjointness, symbol-
+    collision stop, strict count gap)."""
+
+    def test_identical_on_pinned_corpus(self, spark):
+        df = _df(spark)
+        seq = {nm: bpe_train(df, nm) for nm in (1, 4, 8)}
+        for nm, mb in ((1, 32), (4, 2), (8, 4), (8, 32)):
+            assert bpe_train_batched(df, nm, max_batch=mb) == seq[nm], \
+                (nm, mb)
+
+    def test_identical_under_heavy_ties(self, spark):
+        # every pair count ties — the strict-gap rule must degrade the
+        # batch to one merge per round, not diverge
+        df = _df(spark, [(0, "ab ab cd cd ef ef gh gh")])
+        assert bpe_train_batched(df, 8, max_batch=8) == bpe_train(df, 8)
+
+    def test_identical_on_reduplication_corpus(self, spark):
+        rows = [(0, "abab abab bobo bobo aaaa aaaa aaaaa murmur")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for nm in (2, 8):
+            assert bpe_train_batched(df, nm, max_batch=6) == \
+                bpe_train(df, nm), nm
+
+    def test_identical_on_random_corpora(self, spark):
+        """Randomized property: small alphabets force symbol collisions
+        and conflicting top pairs — the hard cases for batching."""
+        import random
+        rng = random.Random(23)
+        for trial in range(3):
+            n_words = rng.randint(5, 30)
+            alpha = "abc" if trial % 2 == 0 else "abcde"
+            words = ["".join(rng.choice(alpha)
+                             for _ in range(rng.randint(1, 6)))
+                     for _ in range(n_words)]
+            df = _df(spark, [(0, " ".join(words))])
+            nm = rng.randint(2, 6)
+            got = bpe_train_batched(df, nm, max_batch=4)
+            want = bpe_train(df, nm)
+            assert got == want, (trial, words, nm)
+
+    def test_exhaustion_stops_early(self, spark):
+        df = _df(spark, [(0, "ha ha ha")])
+        got = bpe_train_batched(df, 50, max_batch=16)
+        assert got == bpe_train(df, 50)
+        assert len(got) == 2    # a+EOW, then h+aEOW: fully merged
+
+    def test_invalid_args(self, spark):
+        with pytest.raises(ValueError):
+            bpe_train_batched(_df(spark), 0)
+        with pytest.raises(ValueError):
+            bpe_train_batched(_df(spark), 3, max_batch=0)
+
+
+class TestEowMarkerNotForgeable:
+    """The end-of-word marker is U+001E, which is stripped from terms —
+    so no sequence of merges over real token characters can ever create
+    a symbol equal to the marker.  A printable marker like '</w>' IS
+    constructible from an HTML-ish corpus ('<'+'/'+'w'+'>'), silently
+    conflating content with word boundaries (round-4 ADVICE)."""
+
+    def test_literal_angle_w_token_stays_content(self, spark):
+        # the literal token '</w>' merges into a single SYMBOL whose
+        # string is '</w>' — but the EOW marker is \x1e, so pair counts
+        # keep boundary and content distinct
+        df = _df(spark, [(0, "</w> </w> </w> </w>")])
+        m = bpe_train(df, 3)
+        # merges build up the content token; the EOW marker appears only
+        # as a rhs symbol, never as a content fragment
+        syms = {l for _, l, _, _ in m} | {r for _, _, r, _ in m}
+        assert EOW == "\x1e"
+        assert all("\x1e" not in x or x == "\x1e" or x.endswith("\x1e")
+                   for x in syms)
+        # and the classic reference agrees on this corpus
+        assert m == ref_bpe(["</w>"] * 4, 3)
+
+    def test_terms_containing_controls_dropped(self, spark):
+        df = _df(spark, [(0, "ok ok bad\x1ebad bad\x1fbad")])
+        got = {r["term"] for r in word_vocabulary(df).collect()}
+        assert got == {"ok"}
+
+
+class TestOracleExhaustionGraceful:
+    def test_bpe_encode_oracle_survives_early_vocab_exhaustion(self, spark,
+                                                               tmp_path):
+        """Round-4 ADVICE: on a corpus whose vocabulary exhausts before
+        the 8 oracle merge steps, the oracle's scalar subqueries go NULL
+        and (pre-fix) replace(seq, NULL, NULL) nulled every encoded
+        sequence — NULL n_subwords while Spark returned real counts.
+        The coalesce-wrapped pattern degrades exhausted steps to identity
+        replaces; both engines must agree on such a corpus."""
+        import duckdb
+        import pandas as pd
+        import __spark_entry__ as entry
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        # 'ha' exhausts after 2 merges: a+EOW, h+aEOW
+        pd.DataFrame({"doc_id": [0, 1], "text": ["ha ha", "ha"]}) \
+            .to_parquet(sf / "documents.parquet", index=False)
+
+        spark_rows = sorted(
+            (r["id"], r["n_tokens"], r["n_subwords"])
+            for r in entry.queries()["bpe_encode"](spark, str(sf)).collect())
+
+        con = duckdb.connect()
+        con.execute(f"""CREATE VIEW documents AS
+                        SELECT * FROM read_parquet('{sf}/documents.parquet')""")
+        sql_rows = sorted(tuple(t) for t in con.execute(
+            entry.oracle_sql()["bpe_encode"]).fetchall())
+        assert spark_rows == sql_rows
+        assert all(ns is not None for _, _, ns in sql_rows)
+        # fully merged: every word is ONE symbol
+        assert spark_rows == [(0, 2, 2), (1, 1, 1)]
 
 
 class TestWordVocabulary:
