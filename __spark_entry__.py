@@ -1533,7 +1533,8 @@ def oracle_max_sf() -> dict[str, float]:
         "curation_pipeline": 0.01,
         "dedup_ngram_guarded": 0.01,
         "dedup_keep_best": 0.01,
-        "dedup_index_update": 0.01,
+        # dedup_index_update left the list in round 5: its oracle is now
+        # the sub-quadratic band replay (passes at sf0.1 in ~1 min)
     }
 
 
@@ -2149,41 +2150,100 @@ def oracle_sql() -> dict[str, str]:
         FROM canon GROUP BY canon_url
     """
 
-    o["dedup_incremental"] = r"""
-        WITH bi AS (SELECT doc_id AS id, trim(text) AS t FROM documents),
+    # ---- incremental-dedup oracles: FULL band replay, no LSH-recall
+    # assumption.  The word hash is md5_number_lower (pinned in
+    # operators/dedup._hashed_shingles_one), so DuckDB can replay the
+    # entire MinHash chain: word hash -> position-weighted wrapping mix
+    # (32-bit-split multiply mod 2^64 in HUGEINT) -> 64 affine
+    # permutations mod 2^31-1 -> 16x4 band buckets (keyed on the raw
+    # slot concat -- equality-equivalent to Spark's xxhash64 of it) ->
+    # candidate pairs -> exact hash-set verification.  A marginal-Jaccard
+    # pair the LSH misses is missed IDENTICALLY by both engines.
+    from ocr_system_spark.operators.dedup import _minhash_params as _mhp
+
+    _MH_PA = "[" + ",".join(str(a) for a, _ in _mhp(64, 1234567)) + "]"
+    _MH_PB = "[" + ",".join(str(b) for _, b in _mhp(64, 1234567)) + "]"
+    _MH_MIX = [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB]
+
+    def _mh_mul(i: str, m: int) -> str:
+        """(md5_number_lower(w[i]) * m) mod 2^64 via 32-bit split (a
+        direct HUGEINT product of two ~2^64 values overflows INT128)."""
+        mh, ml = m >> 32, m & 0xFFFFFFFF
+        u = f"md5_number_lower(w[{i}])"
+        return (f"CAST(((CAST({u} % 4294967296 AS HUGEINT) * {ml}"
+                f" + ((CAST({u} % 4294967296 AS HUGEINT) * {mh}"
+                f" + CAST({u} // 4294967296 AS HUGEINT) * {ml})"
+                f" % 4294967296) * 4294967296)"
+                f" % 18446744073709551616) AS UBIGINT)")
+
+    # h (UBIGINT shingle hash) -> signed-int64 view -> mod 2^31-1,
+    # Python/numpy sign semantics (non-negative)
+    _MH_HV = ("CAST((((CASE WHEN h >= 9223372036854775808 "
+              "THEN CAST(h AS HUGEINT) - 18446744073709551616 "
+              "ELSE CAST(h AS HUGEINT) END) % 2147483647 + 2147483647) "
+              "% 2147483647) AS BIGINT)")
+
+    def _mh_sig_ctes(tag: str, src: str) -> str:
+        """sh/sig/band CTEs (sh{tag}, sig{tag}, band{tag}) over a source
+        CTE ``src`` with columns (id, t)."""
+        shingle = ("xor(xor(" + _mh_mul("i", _MH_MIX[0]) + ", "
+                   + _mh_mul("i+1", _MH_MIX[1]) + "), "
+                   + _mh_mul("i+2", _MH_MIX[2]) + ")")
+        return f"""
+        w{tag} AS (SELECT id, regexp_split_to_array(t, '\\s+') AS w
+                   FROM {src}),
+        sh{tag} AS (SELECT id,
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> {shingle})) AS sh
+            FROM w{tag} WHERE len(w) >= 3),
+        sig{tag} AS (SELECT id, sh,
+                   list_transform(range(1, 65), j ->
+                       list_min(list_transform(sh, h ->
+                           ({_MH_HV} * pa[CAST(j AS INTEGER)]
+                            + pb[CAST(j AS INTEGER)]) % 2147483647)))
+                   AS sig
+            FROM sh{tag}, mh_params),
+        band{tag} AS (SELECT id, j,
+                   array_to_string(sig[4*CAST(j AS INTEGER)+1
+                                       :4*CAST(j AS INTEGER)+4], ',')
+                   AS bkey
+            FROM sig{tag}
+            CROSS JOIN (SELECT unnest(range(0, 16)) AS j))"""
+
+    _MH_SOURCES = r"""
+        bi AS (SELECT doc_id AS id, trim(text) AS t FROM documents),
         bb AS (
             SELECT doc_id + 100000 AS id,
                    array_to_string(
                      regexp_split_to_array(trim(text), '\s+')[2:len(regexp_split_to_array(trim(text), '\s+'))],
                      ' ') AS t
-            FROM documents WHERE doc_id % 5 = 0),
-        shi AS (
-            SELECT id,
-                   list_distinct(list_transform(range(1, len(w) - 1),
-                                                i -> array_to_string(w[i:i+2], ' '))) AS s
-            FROM (SELECT id, regexp_split_to_array(t, '\s+') AS w FROM bi)
-            WHERE len(w) >= 3),
-        shb AS (
-            SELECT id,
-                   list_distinct(list_transform(range(1, len(w) - 1),
-                                                i -> array_to_string(w[i:i+2], ' '))) AS s
-            FROM (SELECT id, regexp_split_to_array(t, '\s+') AS w FROM bb)
-            WHERE len(w) >= 3)
+            FROM documents WHERE doc_id % 5 = 0)"""
+
+    o["dedup_incremental"] = f"""
+        WITH {_MH_SOURCES},
+        mh_params AS (SELECT {_MH_PA} AS pa, {_MH_PB} AS pb),
+        {_mh_sig_ctes("i", "bi")},
+        {_mh_sig_ctes("b", "bb")},
+        cand AS (SELECT DISTINCT i.id AS index_id, b.id AS batch_id
+                 FROM bandi i JOIN bandb b
+                   ON i.j = b.j AND i.bkey = b.bkey
+                 WHERE i.id != b.id)
         SELECT index_id, batch_id, inter, uni FROM (
-            SELECT i.id AS index_id, b.id AS batch_id,
-                   len(list_intersect(i.s, b.s)) AS inter,
-                   len(i.s) + len(b.s) - len(list_intersect(i.s, b.s)) AS uni
-            FROM shi i JOIN shb b ON i.id != b.id)
-        WHERE inter >= 1 AND 100 * inter >= 70 * uni
+            SELECT c.index_id, c.batch_id,
+                   len(list_intersect(si.sh, sb.sh)) AS inter,
+                   len(si.sh) + len(sb.sh)
+                       - len(list_intersect(si.sh, sb.sh)) AS uni
+            FROM cand c
+            JOIN sigi si ON si.id = c.index_id
+            JOIN sigb sb ON sb.id = c.batch_id)
+        WHERE 100 * inter >= 70 * uni
     """
-    # index-update oracle: recompute the next index version's id set from
-    # exact Jaccard semantics. A batch id is dropped iff it matches ANY
-    # stored doc at J >= 0.7 (cross leg) or ANY lower-id batch sibling
-    # (within leg — incremental_minhash_pairs emits within-batch pairs as
-    # (min, max), and survivors drop the batch_id=max side). Same LSH
-    # recall caveat as dedup_incremental, documented in COVERAGE.md.
-    o["dedup_index_update"] = r"""
-        WITH bi AS (SELECT doc_id AS id, trim(text) AS t FROM documents),
+
+    # index-update oracle: next index version's id set, with BOTH legs
+    # (cross and within-batch) derived from band-replay candidates — the
+    # exact relation update_minhash_index persists, recall-free.
+    _MH_SOURCES_UPD = r"""
+        bi AS (SELECT doc_id AS id, trim(text) AS t FROM documents),
         bb AS (
             SELECT doc_id + 100000 AS id,
                    array_to_string(
@@ -2195,39 +2255,44 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(
                      list_reverse(regexp_split_to_array(trim(text), '\s+')),
                      ' ') AS t
-            FROM documents WHERE doc_id % 5 = 1),
-        shi AS (
-            SELECT id,
-                   list_distinct(list_transform(range(1, len(w) - 1),
-                                                i -> array_to_string(w[i:i+2], ' '))) AS s
-            FROM (SELECT id, regexp_split_to_array(t, '\s+') AS w FROM bi)
-            WHERE len(w) >= 3),
-        shb AS (
-            SELECT id,
-                   list_distinct(list_transform(range(1, len(w) - 1),
-                                                i -> array_to_string(w[i:i+2], ' '))) AS s
-            FROM (SELECT id, regexp_split_to_array(t, '\s+') AS w FROM bb)
-            WHERE len(w) >= 3),
+            FROM documents WHERE doc_id % 5 = 1)"""
+
+    o["dedup_index_update"] = f"""
+        WITH {_MH_SOURCES_UPD},
+        mh_params AS (SELECT {_MH_PA} AS pa, {_MH_PB} AS pb),
+        {_mh_sig_ctes("i", "bi")},
+        {_mh_sig_ctes("b", "bb")},
         cross_dup AS (
-            SELECT DISTINCT id FROM (
-                SELECT b.id,
-                       len(list_intersect(i.s, b.s)) AS inter,
-                       len(i.s) + len(b.s) - len(list_intersect(i.s, b.s)) AS uni
-                FROM shi i JOIN shb b ON i.id != b.id)
-            WHERE inter >= 1 AND 100 * inter >= 70 * uni),
+            SELECT DISTINCT batch_id AS id FROM (
+                SELECT c.batch_id,
+                       len(list_intersect(si.sh, sb.sh)) AS inter,
+                       len(si.sh) + len(sb.sh)
+                           - len(list_intersect(si.sh, sb.sh)) AS uni
+                FROM (SELECT DISTINCT i.id AS index_id, b.id AS batch_id
+                      FROM bandi i JOIN bandb b
+                        ON i.j = b.j AND i.bkey = b.bkey
+                      WHERE i.id != b.id) c
+                JOIN sigi si ON si.id = c.index_id
+                JOIN sigb sb ON sb.id = c.batch_id)
+            WHERE 100 * inter >= 70 * uni),
         within_dup AS (
-            SELECT DISTINCT id FROM (
-                SELECT b.id,
-                       len(list_intersect(a.s, b.s)) AS inter,
-                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-                FROM shb a JOIN shb b ON a.id < b.id)
-            WHERE inter >= 1 AND 100 * inter >= 70 * uni)
-        SELECT id FROM shi
+            SELECT DISTINCT id_b AS id FROM (
+                SELECT c.id_b,
+                       len(list_intersect(sa.sh, sb.sh)) AS inter,
+                       len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)) AS uni
+                FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                      FROM bandb a JOIN bandb b
+                        ON a.j = b.j AND a.bkey = b.bkey AND a.id < b.id) c
+                JOIN sigb sa ON sa.id = c.id_a
+                JOIN sigb sb ON sb.id = c.id_b)
+            WHERE 100 * inter >= 70 * uni)
+        SELECT id FROM sigi
         UNION ALL
-        SELECT id FROM shb
+        SELECT id FROM sigb
         WHERE id NOT IN (SELECT id FROM cross_dup)
           AND id NOT IN (SELECT id FROM within_dup)
-          AND id NOT IN (SELECT id FROM shi)
+          AND id NOT IN (SELECT id FROM sigi)
     """
     o["token_counts"] = r"""
         SELECT doc_id,
@@ -3055,12 +3120,13 @@ def oracle_sql() -> dict[str, str]:
                   '[^\t\n\f\r ]+')) AS term
               FROM documents),
         v AS (SELECT term, count(*) AS cnt FROM w
-              WHERE NOT contains(term, chr(31)) GROUP BY term),
+              WHERE NOT contains(term, chr(31))
+                AND NOT contains(term, chr(30)) GROUP BY term),
         it0 AS MATERIALIZED (SELECT chr(31) || array_to_string(
                     list_transform(range(1, length(term)+1),
                                    i -> substr(term, CAST(i AS INTEGER), 1)),
                     chr(31) || chr(31)) || chr(31) || chr(31)
-                    || '</w>' || chr(31) AS seq, cnt
+                    || chr(30) || chr(31) AS seq, cnt
                 FROM v)"""]
         for k in range(n):
             parts.append(f"""
@@ -3078,11 +3144,13 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
         it{k + 1} AS MATERIALIZED (
             SELECT replace(seq,
-                       chr(31) || (SELECT lhs FROM b{k}) || chr(31)
-                               || chr(31)
-                               || (SELECT rhs FROM b{k}) || chr(31),
-                       chr(31) || (SELECT lhs FROM b{k})
-                               || (SELECT rhs FROM b{k}) || chr(31)) AS seq,
+                       chr(31) || coalesce((SELECT lhs FROM b{k}), chr(31))
+                               || chr(31) || chr(31)
+                               || coalesce((SELECT rhs FROM b{k}), chr(31))
+                               || chr(31),
+                       chr(31) || coalesce((SELECT lhs FROM b{k}), '')
+                               || coalesce((SELECT rhs FROM b{k}), '')
+                               || chr(31)) AS seq,
                    cnt
             FROM it{k})""")
         return "WITH " + ",".join(parts)
@@ -3103,14 +3171,15 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(1, length(term)+1), "
             "i -> substr(term, CAST(i AS INTEGER), 1)), "
             "chr(31) || chr(31)) "
-            "|| chr(31) || chr(31) || '</w>' || chr(31)")
+            "|| chr(31) || chr(31) || chr(30) || chr(31)")
     for _k in range(_BPE_N):
         _enc = (f"replace({_enc}, "
-                f"chr(31) || (SELECT lhs FROM b{_k}) || chr(31) "
-                f"|| chr(31) "
-                f"|| (SELECT rhs FROM b{_k}) || chr(31), "
-                f"chr(31) || (SELECT lhs FROM b{_k}) "
-                f"|| (SELECT rhs FROM b{_k}) || chr(31))")
+                f"chr(31) || coalesce((SELECT lhs FROM b{_k}), chr(31)) "
+                f"|| chr(31) || chr(31) "
+                f"|| coalesce((SELECT rhs FROM b{_k}), chr(31)) "
+                f"|| chr(31), "
+                f"chr(31) || coalesce((SELECT lhs FROM b{_k}), '') "
+                f"|| coalesce((SELECT rhs FROM b{_k}), '') || chr(31))")
     o["bpe_encode"] = f"""
         {_bpe_cte(_BPE_N)},
         tokd AS (SELECT doc_id AS id,
@@ -3120,7 +3189,8 @@ def oracle_sql() -> dict[str, str]:
                             '[^\t\n\f\r ]+')) AS term
                  FROM documents),
         tokf AS (SELECT id, term FROM tokd
-                 WHERE NOT contains(term, chr(31))),
+                 WHERE NOT contains(term, chr(31))
+                   AND NOT contains(term, chr(30))),
         enc AS (SELECT id, {_enc} AS seq FROM tokf)
         SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(len(string_split_regex(seq, chr(31) || '+')) - 2)

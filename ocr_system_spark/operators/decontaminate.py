@@ -13,8 +13,8 @@ definition (eval suites are thousands of rows, not billions), so its
 distinct shingle-hash set is BROADCAST and the contamination flag is a
 map-side broadcast semi-join on a 64-bit hash — the corpus is touched in
 ONE scan with NO shuffle for the filter form; the per-doc hit-count form
-adds exactly one doc-keyed aggregation. Shingles travel as xxhash-free
-blake2b-based 64-bit hashes (``with_hashed_shingles`` — same kernel and
+adds exactly one doc-keyed aggregation. Shingles travel as
+md5-derived 64-bit hashes (md5_number_lower — DuckDB-replayable) (``with_hashed_shingles`` — same kernel and
 hash as the dedup family, so a corpus already signed for dedup reuses its
 arrays), and equality of hash sets equals equality of string sets w.h.p.
 (collisions ~n²/2^64).

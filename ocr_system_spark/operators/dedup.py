@@ -230,7 +230,13 @@ def _hashed_shingles_one(words: list, n: int, memo: dict) -> np.ndarray:
     """Distinct 64-bit word-``n``-gram hashes WITHOUT materializing shingle
     strings: each word is hashed once (memoized across the batch — web
     vocab repeats heavily), then the n-gram hash is a position-weighted
-    wrapping mix of the word hashes, vectorized over the whole doc."""
+    wrapping mix of the word hashes, vectorized over the whole doc.
+
+    The word hash is md5-digest bytes [8:16] little-endian — DuckDB's
+    ``md5_number_lower``, the same primitive the SimHash kernel pins —
+    so an independent SQL engine can replay the ENTIRE MinHash chain
+    (word hash → position mix → affine permutations → band buckets) and
+    the incremental-dedup oracles need no LSH-recall assumption."""
     if len(words) < n:
         return np.empty(0, dtype=np.int64)
     import hashlib
@@ -239,8 +245,8 @@ def _hashed_shingles_one(words: list, n: int, memo: dict) -> np.ndarray:
     for i, w in enumerate(words):
         h = memo.get(w)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16],
+                               "little")
             memo[w] = h
         wh[i] = h
     m = len(words) - n + 1

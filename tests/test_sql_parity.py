@@ -80,7 +80,7 @@ def test_simhash_tokenization_matches_re2(text):
 @given(TEXTS, TEXTS)
 def test_hashed_shingle_overlap_equals_string_overlap(a, b):
     """contamination_hits counts shared 64-bit shingle hashes; the oracle
-    counts shared shingle STRINGS. Equality holds unless blake2b-64
+    counts shared shingle STRINGS. Equality holds unless the md5-derived 64-bit hash
     collides — pin it on unicode/whitespace soup for n=5 and n=3."""
     from ocr_system_spark.operators.dedup import _hashed_shingles_one
 
