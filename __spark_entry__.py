@@ -1186,6 +1186,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_dedup"] = q_line_dedup
 
+    def q_paragraph_dedup(spark, sf_dir):
+        """The CCNet paragraph pass COMPOSED end-to-end: normalize_text →
+        remove_duplicate_lines(line_sep='\\n\\n').  Every doc gets a promo
+        paragraph whose accent is COMPOSED on even ids and DECOMPOSED on
+        odd ids — only after NFC do the variants collide into one hot
+        paragraph (n_docs = all docs), which the paragraph dedup then
+        strips; every 7th doc carries a second shared paragraph; each
+        doc's own text is its unique surviving paragraph.  Rebuild
+        strategy is the measured AUTO default (tiny hot set → row-local
+        broadcast rebuild)."""
+        from ocr_system_spark.operators.lines import remove_duplicate_lines
+        from ocr_system_spark.operators.normalize import normalize_text
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        promo = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("join our café club\nsubscribe today")).otherwise(
+            F.lit("join our café club\nsubscribe today"))
+        extra = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\n\ncall to action\nlimited offer")).otherwise(F.lit(""))
+        built = d.select(
+            "doc_id",
+            F.concat(promo, F.lit("\n\n"), F.col("text"), extra)
+            .alias("text"))
+        norm = normalize_text(built)
+        return remove_duplicate_lines(norm, min_docs=10, id_col="id",
+                                      text_col="norm_text",
+                                      line_sep="\n\n")
+
+    q["paragraph_dedup"] = q_paragraph_dedup
+
     def _hosted_lined_documents(spark, sf_dir):
         """Lined documents with a synthetic host (doc_id % 17) and a
         HOST-SPECIFIC template line inserted after every 3rd content line
@@ -1464,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
     "quality_tiers_bucketed",
+    "paragraph_dedup",
     # round-3/4 queries whose latest driver row is r03 — promote so the
     # r05 snapshot records them (the r04 window recorded the other half)
     "agg_pricing",
@@ -2977,6 +3009,53 @@ def oracle_sql() -> dict[str, str]:
             FROM lines)
         SELECT id,
                coalesce(string_agg(line, chr(10) ORDER BY line_i, sub)
+                        FILTER (WHERE NOT is_hot), '') AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) FILTER (WHERE is_hot) AS BIGINT) AS n_removed
+        FROM marked GROUP BY id
+    """
+
+    # paragraph_dedup: replay construction (composed/decomposed promo),
+    # the normalize chain (CRLF/zero-width are no-ops here; NFC via
+    # DuckDB's own nfc_normalize), then the paragraph-granularity dedup —
+    # split on a double newline, hot = >=10 distinct docs, ordered rebuild
+    o["paragraph_dedup"] = """
+        WITH built AS (
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'join our caf' || chr(233) || ' club'
+                             || chr(10) || 'subscribe today'
+                        ELSE 'join our cafe' || chr(769) || ' club'
+                             || chr(10) || 'subscribe today' END
+                   || chr(10) || chr(10) || text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(10) || chr(10) || 'call to action'
+                                || chr(10) || 'limited offer'
+                           ELSE '' END AS text
+            FROM documents),
+        norm AS (
+            SELECT id,
+                   nfc_normalize(
+                       regexp_replace(
+                           regexp_replace(text, chr(13) || chr(10),
+                                          chr(10), 'g'),
+                           '[' || chr(8203) || chr(8204) || chr(8205)
+                               || chr(65279) || ']', '', 'g')) AS t
+            FROM built),
+        paras AS (
+            SELECT id, i, ps[CAST(i AS INTEGER)] AS p FROM (
+                SELECT id, ps, unnest(range(1, len(ps) + 1)) AS i
+                FROM (SELECT id,
+                             string_split(t, chr(10) || chr(10)) AS ps
+                      FROM norm))),
+        hot AS (
+            SELECT p FROM paras WHERE trim(p) <> ''
+            GROUP BY p HAVING count(DISTINCT id) >= 10),
+        marked AS (
+            SELECT id, i, p, p IN (SELECT p FROM hot) AS is_hot
+            FROM paras)
+        SELECT id,
+               coalesce(string_agg(p, chr(10) || chr(10) ORDER BY i)
                         FILTER (WHERE NOT is_hot), '') AS clean_text,
                CAST(count(*) AS BIGINT) AS n_lines,
                CAST(count(*) FILTER (WHERE is_hot) AS BIGINT) AS n_removed

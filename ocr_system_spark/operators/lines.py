@@ -114,12 +114,33 @@ def _rebuild(marked, group_cols: list[str], line_sep: str = "\n"):
     )
 
 
+def _choose_rebuild(n_hot: int, hot_bytes: int,
+                    local_max_bytes: int,
+                    broadcast_max_bytes: int) -> tuple[str, bool]:
+    """Strategy for a measured hot set: ('local'|'join', broadcast_hot).
+
+    * fits ``local_max_bytes``  -> collect + broadcast variable, row-local
+      Arrow rebuild (cheapest on a real cluster: the hot set ships once
+      per executor, the corpus never re-shuffles);
+    * fits ``broadcast_max_bytes`` -> pure-JVM mark join with a broadcast
+      hint (no driver-side Python set, but still no corpus shuffle);
+    * larger -> line-keyed shuffle mark join (the only shape with no
+      single-node bound at all)."""
+    if hot_bytes <= local_max_bytes:
+        return "local", True
+    if hot_bytes <= broadcast_max_bytes:
+        return "join", True
+    return "join", False
+
+
 def remove_duplicate_lines(df: DataFrame, min_docs: int,
                            id_col: str = "doc_id",
                            text_col: str = "text",
                            broadcast_hot: bool = True,
-                           rebuild: str = "local",
-                           line_sep: str = "\n") -> DataFrame:
+                           rebuild: str = "auto",
+                           line_sep: str = "\n",
+                           local_max_bytes: int = 64 << 20,
+                           broadcast_max_bytes: int = 512 << 20) -> DataFrame:
     """Rebuild each document without the lines that occur in >=
     ``min_docs`` distinct documents (the CCNet duplicated-line pass).
 
@@ -130,7 +151,7 @@ def remove_duplicate_lines(df: DataFrame, min_docs: int,
     The hot set is bounded by total_line_occurrences/min_docs.  Two
     rebuild strategies, identical results (pinned in tests):
 
-    * ``rebuild="local"`` (default): collect the bounded hot set once,
+    * ``rebuild="local"``: collect the bounded hot set once,
       ship it to every worker as a broadcast variable, and rebuild each
       document ROW-LOCALLY in an Arrow-batched kernel — the corpus is
       shuffled only by the doc-frequency aggregation; the rebuild itself
@@ -145,15 +166,31 @@ def remove_duplicate_lines(df: DataFrame, min_docs: int,
       outgrows driver memory; ``broadcast_hot=False`` additionally
       switches the mark join to a line-keyed shuffle join past the
       broadcast ceiling.
+    * ``rebuild="auto"`` (default): MEASURE the hot set first — one
+      2-column aggregate over the doc-frequency relation the pass
+      computes anyway — and pick the strategy against the byte
+      thresholds (``local_max_bytes``, then ``broadcast_max_bytes``);
+      the measured bound, not the caller's guess, decides.  The explicit
+      values remain as overrides (callers who know their corpus skip the
+      probe; when an explicit strategy is given the threshold arguments
+      are ignored).
     """
-    if rebuild not in ("local", "join"):
-        raise ValueError(f"rebuild must be 'local' or 'join', got {rebuild}")
+    if rebuild not in ("auto", "local", "join"):
+        raise ValueError(
+            f"rebuild must be 'auto', 'local' or 'join', got {rebuild}")
+    hot_rel = hot_lines(df, min_docs, id_col, text_col, line_sep)
+    if rebuild == "auto":
+        # probe + selected rebuild both read this small-by-bound relation
+        hot_rel = hot_rel.cache()
+        probe = hot_rel.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.octet_length("line")), F.lit(0)).alias("b"),
+        ).collect()[0]
+        rebuild, broadcast_hot = _choose_rebuild(
+            int(probe["n"]), int(probe["b"]),
+            local_max_bytes, broadcast_max_bytes)
     if rebuild == "local":
-        hot_set = {
-            r["line"]
-            for r in hot_lines(df, min_docs, id_col, text_col, line_sep)
-                     .select("line").collect()
-        }
+        hot_set = {r["line"] for r in hot_rel.select("line").collect()}
         b = df.sparkSession.sparkContext.broadcast(hot_set)
 
         @F.pandas_udf(_REBUILD_SCHEMA)
@@ -174,7 +211,7 @@ def remove_duplicate_lines(df: DataFrame, min_docs: int,
                         rebuild_udf(F.col(text_col)).alias("r"))
         return out.select("id", "r.clean_text", "r.n_lines", "r.n_removed")
 
-    hot = hot_lines(df, min_docs, id_col, text_col, line_sep).select("line")
+    hot = hot_rel.select("line")
     if broadcast_hot:
         hot = F.broadcast(hot)
     lines = df.select(

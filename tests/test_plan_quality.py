@@ -61,6 +61,41 @@ def test_agg_pricing_pushes_filter_to_scan(spark):
     assert p.count("HashAggregate") >= 2, p
 
 
+def test_partition_pruning_on_lang_date_layout(spark, tmp_path):
+    """SURVEY §4.2's pushdown claim, evidenced without Iceberg jars: a
+    results table written partitionBy(lang, crawl_date) must answer a
+    ``lang = 'en' AND crawl_date >= X`` predicate by PRUNING partitions at
+    plan time — the predicate shows up as a PartitionFilter on the scan,
+    not a post-scan Filter, and the scan reads only the matching
+    directories.  On an Iceberg catalog the same DataFrame code gets the
+    same pruning from the manifest layer."""
+    p = str(tmp_path / "results")
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("lang"),
+        F.date_add(F.lit("2026-01-01").cast("date"),
+                   (F.col("id") % 8).cast("int")).alias("crawl_date"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"))
+    df.write.partitionBy("lang", "crawl_date").parquet(p)
+
+    out = (spark.read.parquet(p)
+           .filter((F.col("lang") == "en")
+                   & (F.col("crawl_date") >= "2026-01-05"))
+           .select("doc_id", "text"))
+    plan = plan_of(out)
+    assert "PartitionFilters" in plan, plan
+    seg = plan[plan.index("PartitionFilters"):]
+    seg = seg[:seg.index("]") + 1]
+    assert "lang" in seg and "crawl_date" in seg, seg
+    # the partition predicate must NOT survive as a row-level Filter
+    assert "isnotnull(lang" not in plan.split("PartitionFilters")[0], plan
+    # and it computes the right thing: en docs dated >= Jan 5
+    assert out.count() == df.filter(
+        (F.col("lang") == "en")
+        & (F.col("crawl_date") >= "2026-01-05")).count()
+
+
 def test_semi_anti_join_strategies(spark):
     qs = entry.queries()
     for name in ["semi_join", "anti_join"]:

@@ -113,6 +113,60 @@ class TestRemoveDuplicateLines:
             == {k: (v["clean_text"], v["n_removed"])
                 for k, v in out_j.items()}
 
+    def test_auto_strategy_thresholds(self):
+        """Pure decision table: the measured hot-set BYTES pick the
+        strategy against the two thresholds, both switchovers pinned."""
+        from ocr_system_spark.operators.lines import _choose_rebuild
+        assert _choose_rebuild(10, 100, 1000, 10_000) == ("local", True)
+        assert _choose_rebuild(10, 1000, 1000, 10_000) == ("local", True)
+        assert _choose_rebuild(10, 1001, 1000, 10_000) == ("join", True)
+        assert _choose_rebuild(10, 10_000, 1000, 10_000) == ("join", True)
+        assert _choose_rebuild(10, 10_001, 1000, 10_000) == ("join", False)
+        # empty hot set stays on the cheapest path
+        assert _choose_rebuild(0, 0, 1000, 10_000) == ("local", True)
+
+    def test_auto_switches_and_results_identical(self, spark):
+        """Drive auto through all three regimes with tiny thresholds:
+        results are byte-identical across every selected strategy."""
+        df = _docs(spark, [(i, "common line\nmine %d" % i)
+                           for i in range(4)])
+        want = sorted(remove_duplicate_lines(
+            df, min_docs=3, rebuild="local").collect())
+        # hot set = {"common line"} = 11 bytes
+        as_local = sorted(remove_duplicate_lines(
+            df, min_docs=3, local_max_bytes=11,
+            broadcast_max_bytes=100).collect())
+        as_bcast_join = sorted(remove_duplicate_lines(
+            df, min_docs=3, local_max_bytes=10,
+            broadcast_max_bytes=100).collect())
+        as_shuffle_join = sorted(remove_duplicate_lines(
+            df, min_docs=3, local_max_bytes=4,
+            broadcast_max_bytes=10).collect())
+        assert want == as_local == as_bcast_join == as_shuffle_join
+
+    def test_auto_plan_reflects_selected_strategy(self, spark):
+        df = _docs(spark, [(i, "common line\nmine %d" % i)
+                           for i in range(4)])
+        # forced past local: the plan is the JVM mark join
+        p = _plan(remove_duplicate_lines(
+            df, min_docs=3, local_max_bytes=1, broadcast_max_bytes=100))
+        assert "BroadcastHashJoin" in p
+        # past both thresholds: shuffle join, no broadcast HINT (at test
+        # scale Catalyst still auto-broadcasts the tiny side, so disable
+        # that to observe the large-large shape the strategy selects)
+        thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(thresh_key)
+        try:
+            spark.conf.set(thresh_key, "-1")
+            p2 = _plan(remove_duplicate_lines(
+                df, min_docs=3, local_max_bytes=1, broadcast_max_bytes=2))
+            assert "BroadcastHashJoin" not in p2 and "SortMergeJoin" in p2
+        finally:
+            spark.conf.set(thresh_key, prev)
+        # comfortably under: row-local Arrow rebuild, no join at all
+        p3 = _plan(remove_duplicate_lines(df, min_docs=3))
+        assert "Join" not in p3
+
     def test_invalid_rebuild_mode_raises(self, spark):
         df = _docs(spark, [(0, "x")])
         import pytest as _pytest
