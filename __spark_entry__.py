@@ -1309,6 +1309,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_train"] = q_bpe_train
 
+    def q_bpe_train_batched(spark, sf_dir):
+        """Batched BPE merge training (the production 32k-merge path):
+        many pairwise-disjoint merges applied per driver round under the
+        strict acceptance rule that makes the result BIT-IDENTICAL to
+        sequential training.  The oracle is therefore the sequential
+        8-iteration SQL replay — the batching mechanism is checked
+        against independent sequential semantics, not replayed."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.bpe import bpe_train_batched
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        merges = bpe_train_batched(d, n_merges=8, max_batch=8)
+        return spark.createDataFrame(
+            merges, "merge_id long, lhs string, rhs string, pair_count long")
+
+    q["bpe_train_batched"] = q_bpe_train_batched
+
     def q_bpe_encode(spark, sf_dir):
         """BPE encoding with the 8 learned merges: per-doc exact token and
         subword counts.  The merge chain compiles to one nested JVM
@@ -1496,6 +1512,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
     "quality_tiers_bucketed",
     "paragraph_dedup",
+    "bpe_train_batched",
     # round-3/4 queries whose latest driver row is r03 — promote so the
     # r05 snapshot records them (the r04 window recorded the other half)
     "agg_pricing",
@@ -3245,6 +3262,10 @@ def oracle_sql() -> dict[str, str]:
             {_merge_rows}
         )
     """
+
+    # bit-identity is the batched trainer's contract, so the sequential
+    # replay IS its oracle (independent semantics, not a mechanism replay)
+    o["bpe_train_batched"] = o["bpe_train"]
 
     _enc = ("chr(31) || array_to_string("
             "list_transform(range(1, length(term)+1), "

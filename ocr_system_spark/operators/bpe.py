@@ -243,8 +243,13 @@ def bpe_train_batched(df: DataFrame, n_merges: int,
                 nxt_seq = F.replace(
                     nxt_seq, F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
                     F.lit(SEP + lhs + rhs + SEP))
-            nxt = seqs.select(nxt_seq.alias("seq"), "cnt").cache()
-            nxt.count()
+            # localCheckpoint, not cache: it TRUNCATES the logical plan.
+            # With cache the lineage grows ~batch nested replaces per
+            # round and Catalyst re-analyzes the whole tree every round —
+            # a thousand-merge run OOMs the driver on plan bookkeeping
+            # alone, while execution reads one cached relation regardless.
+            nxt = seqs.select(nxt_seq.alias("seq"), "cnt") \
+                .localCheckpoint(eager=True)
             seqs.unpersist()
             seqs = nxt
     finally:
