@@ -1325,6 +1325,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_train_batched"] = q_bpe_train_batched
 
+    def q_bpe_train_local(spark, sf_dir):
+        """Vocabulary-collect BPE training (THE production 32k-merge
+        path): corpus→vocabulary aggregated distributedly, merge loop on
+        the driver with classic incremental pair-count updates —
+        bit-identical to the distributed sequential trainer, so the
+        sequential SQL replay is its oracle too."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.bpe import bpe_train_local
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        merges = bpe_train_local(d, n_merges=8)
+        return spark.createDataFrame(
+            merges, "merge_id long, lhs string, rhs string, pair_count long")
+
+    q["bpe_train_local"] = q_bpe_train_local
+
     def q_bpe_encode(spark, sf_dir):
         """BPE encoding with the 8 learned merges: per-doc exact token and
         subword counts.  The merge chain compiles to one nested JVM
@@ -1513,6 +1528,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "quality_tiers_bucketed",
     "paragraph_dedup",
     "bpe_train_batched",
+    "bpe_train_local",
     # round-3/4 queries whose latest driver row is r03 — promote so the
     # r05 snapshot records them (the r04 window recorded the other half)
     "agg_pricing",
@@ -3266,6 +3282,7 @@ def oracle_sql() -> dict[str, str]:
     # bit-identity is the batched trainer's contract, so the sequential
     # replay IS its oracle (independent semantics, not a mechanism replay)
     o["bpe_train_batched"] = o["bpe_train"]
+    o["bpe_train_local"] = o["bpe_train"]
 
     _enc = ("chr(31) || array_to_string("
             "list_transform(range(1, length(term)+1), "

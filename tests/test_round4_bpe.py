@@ -268,6 +268,64 @@ class TestEowMarkerNotForgeable:
         assert got == {"ok"}
 
 
+class TestLocalTrainerParity:
+    """bpe_train_local (collect the bounded vocabulary, classic
+    incremental-update BPE on the driver) must be BIT-IDENTICAL to the
+    distributed sequential trainer — it is the production 32k-merge
+    path, so the parity matters most here."""
+
+    def test_identical_on_pinned_corpus(self, spark):
+        from ocr_system_spark.operators.bpe import bpe_train_local
+        df = _df(spark)
+        for nm in (1, 6, 20):
+            assert bpe_train_local(df, nm) == bpe_train(df, nm), nm
+
+    def test_identical_under_ties_and_reduplication(self, spark):
+        from ocr_system_spark.operators.bpe import bpe_train_local
+        for rows in ([(0, "ab ab cd cd ef ef gh gh")],
+                     [(0, "abab abab bobo bobo aaaa aaaa aaaaa murmur")],
+                     [(0, "Ha ha HA")]):
+            df = _df(spark, rows)
+            assert bpe_train_local(df, 12) == bpe_train(df, 12), rows
+
+    def test_identical_on_random_small_alphabet(self, spark):
+        """Small alphabets maximize symbol collisions and count churn —
+        the hard case for the incremental pair-count updates."""
+        import random
+        from ocr_system_spark.operators.bpe import bpe_train_local
+        rng = random.Random(31)
+        for trial in range(3):
+            words = ["".join(rng.choice("abc")
+                             for _ in range(rng.randint(1, 7)))
+                     for _ in range(rng.randint(8, 40))]
+            df = _df(spark, [(0, " ".join(words))])
+            nm = rng.randint(3, 12)
+            assert bpe_train_local(df, nm) == bpe_train(df, nm), \
+                (trial, words, nm)
+
+    def test_pure_python_core_matches_ref_on_volume(self):
+        """Driver-side core vs the from-scratch reference at a few
+        hundred merges — no Spark in the loop, so this can go deep."""
+        import random
+        from ocr_system_spark.operators.bpe import _bpe_train_from_vocab
+        rng = random.Random(99)
+        words = ["".join(rng.choice("abcdefgh")
+                         for _ in range(rng.randint(1, 9)))
+                 for _ in range(3000)]
+        import collections as _c
+        vocab = sorted(_c.Counter(words).items())
+        got = _bpe_train_from_vocab(vocab, 300)
+        want = ref_bpe(words, 300)
+        assert got == want
+
+    def test_max_types_guard(self, spark):
+        import pytest as _pytest
+        from ocr_system_spark.operators.bpe import bpe_train_local
+        df = _df(spark, [(0, "one two three")])
+        with _pytest.raises(ValueError, match="max_types"):
+            bpe_train_local(df, 2, max_types=2)
+
+
 class TestOracleExhaustionGraceful:
     def test_bpe_encode_oracle_survives_early_vocab_exhaustion(self, spark,
                                                                tmp_path):
