@@ -19,6 +19,9 @@ Workloads:
 * line_dedup / c4_filters — line-level curation (added round 4: the suite
   TOTAL is not comparable to rounds <= 3; compare per-query, or subtract
   these two from the total).
+* paragraph_dedup / quality_tiers_bucketed — round-5 additions (NFC
+  normalize → CCNet paragraph pass; two-pass equal-count tier binning).
+  Suite TOTAL is again not comparable to round 4 — compare per-query.
 """
 
 from __future__ import annotations
@@ -184,6 +187,16 @@ def main() -> None:
         qmap["c4_filters"](spark, SF_DIR).count()
 
     timed("c4_filters", run_c4_filters)
+
+    def run_paragraph_dedup():
+        qmap["paragraph_dedup"](spark, SF_DIR).count()
+
+    timed("paragraph_dedup", run_paragraph_dedup)
+
+    def run_quality_tiers():
+        qmap["quality_tiers_bucketed"](spark, SF_DIR).count()
+
+    timed("quality_tiers_bucketed", run_quality_tiers)
 
     # ---- similarity ---------------------------------------------------------
     emb = load(spark, SF_DIR, "embeddings")

@@ -231,8 +231,25 @@ per-doc cost is deterministic text/layout analysis, so the honest
 comparison is the scaling behavior above plus absolute docs/sec, not a
 same-algorithm race.
 """
-    (bench_dir / "BASELINE.md").write_text(md)
-    print(f"wrote {bench_dir / 'BASELINE.md'}", file=sys.stderr)
+    # Regenerate only the scaling + headline sections; preserve any
+    # hand-appended evidence sections (volume checks, per-round suite
+    # records) that follow the headline section in the existing file.
+    target = bench_dir / "BASELINE.md"
+    keep = ""
+    if target.exists():
+        prev = target.read_text()
+        heads = [
+            i for i, line in enumerate(prev.splitlines(keepends=True))
+            if line.startswith("## ") and line not in (
+                "## Scaling evidence (north rule: ≥0.8 efficiency from N to 4N executors)\n",
+                "## Headline throughput\n",
+            )
+        ]
+        if heads:
+            lines = prev.splitlines(keepends=True)
+            keep = "\n" + "".join(lines[heads[0]:])
+    target.write_text(md + keep)
+    print(f"wrote {target}", file=sys.stderr)
 
 
 if __name__ == "__main__":
