@@ -127,9 +127,20 @@ def quality_tiers_bucketed(scored: DataFrame, score_col: str = "score",
     is unbounded floats); the pass-2 window partitions by score, so a
     single massively-tied boundary score is the residual skew case; the
     comparison chain is linear in ``n_tiers`` (for hundreds of tiers,
-    broadcast-range-join the cutpoint table instead)."""
+    broadcast-range-join the cutpoint table instead).
+
+    The input is read three times (distribution, boundary ids, final
+    assignment), so an un-persisted upstream (e.g. the token-explode
+    scorer) would be recomputed per pass; unless the caller already
+    persisted it, the slim (id, score) projection is persisted
+    MEMORY_AND_DISK for the duration (released by Spark's reference-based
+    ContextCleaner once the returned DataFrame is dropped)."""
     if n_tiers <= 0:
         raise ValueError(f"n_tiers must be positive, got {n_tiers}")
+    from pyspark import StorageLevel
+    if scored.storageLevel == StorageLevel.NONE:
+        scored = scored.select(id_col, score_col).persist(
+            StorageLevel.MEMORY_AND_DISK)
     out_cols = [F.col(id_col).alias("id"), F.col(score_col).alias("score")]
 
     dist = sorted(
