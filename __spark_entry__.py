@@ -833,6 +833,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_keep_best"] = q_dedup_keep_best
 
+    def q_fuzzy_dedup_e2e(spark, sf_dir):
+        """End-to-end fuzzy dedup — the production near-dup stage as ONE
+        composition: MinHash(64)+LSH(16-band) candidate pairs (exact-
+        verified at J≥0.7) → connected components → quality keep-best
+        (most ws_tokens wins, ties min id). Planted copies APPEND two
+        words (higher score, higher id), so the kept set provably differs
+        from min-id keep-one. The oracle replays the band blocking itself
+        (md5-derived shingle hash → affine minhash → 4-row band keys in
+        SQL), so the match is recall-free: both engines must derive the
+        SAME candidate set, not just agree on easy pairs."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.components import (
+            connected_components, keep_best)
+        from ocr_system_spark.operators.dedup import minhash_lsh_pairs
+        from ocr_system_spark.operators.textstats import with_token_counts
+
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        copies = d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.trim(F.col("text")), F.lit(" zzqx zzqy")).alias("text"))
+        both = d.union(copies)
+        edges = minhash_lsh_pairs(both, "doc_id", min_jaccard_pct=70)
+        comps = connected_components(
+            edges, nodes=both.select(F.col("doc_id").alias("id")))
+        scored = with_token_counts(both).select("doc_id", "ws_tokens")
+        kept = keep_best(scored, comps, "ws_tokens", id_col="doc_id")
+        return kept.select("doc_id", "comp",
+                           F.col("ws_tokens").cast("long").alias("ws_tokens"))
+
+    q["fuzzy_dedup_e2e"] = q_fuzzy_dedup_e2e
+
     def q_decontaminate(spark, sf_dir):
         """Benchmark decontamination audit: per-doc count of distinct
         word-5-grams shared with a benchmark set (a deterministic
@@ -1525,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "fuzzy_dedup_e2e",
     "quality_tiers_bucketed",
     "paragraph_dedup",
     "bpe_train_batched",
@@ -2358,6 +2390,47 @@ def oracle_sql() -> dict[str, str]:
         WHERE id NOT IN (SELECT id FROM cross_dup)
           AND id NOT IN (SELECT id FROM within_dup)
           AND id NOT IN (SELECT id FROM sigi)
+    """
+    # fuzzy_dedup_e2e: full band replay (recall-free candidate parity) →
+    # exact-Jaccard verify → recursive-CTE components → keep-best ranking.
+    o["fuzzy_dedup_e2e"] = f"""
+        WITH RECURSIVE
+        be AS (SELECT doc_id AS id, trim(text) AS t FROM documents
+               UNION ALL
+               SELECT doc_id + 100000, trim(text) || ' zzqx zzqy'
+               FROM documents),
+        mh_params AS (SELECT {_MH_PA} AS pa, {_MH_PB} AS pb),
+        {_mh_sig_ctes("e", "be")},
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bande a JOIN bande b
+                   ON a.j = b.j AND a.bkey = b.bkey AND a.id < b.id),
+        pairs AS (SELECT id_a, id_b FROM (
+                    SELECT c.id_a, c.id_b,
+                           len(list_intersect(sa.sh, sb.sh)) AS inter,
+                           len(sa.sh) + len(sb.sh)
+                               - len(list_intersect(sa.sh, sb.sh)) AS uni
+                    FROM cand c
+                    JOIN sige sa ON sa.id = c.id_a
+                    JOIN sige sb ON sb.id = c.id_b)
+                  WHERE 100 * inter >= 70 * uni),
+        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT id FROM be),
+        walk(id, reach) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT k.id, s.v FROM walk k JOIN sym s ON s.u = k.reach),
+        comp AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id),
+        score AS (
+            SELECT id, CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT)
+                       AS ws_tokens
+            FROM be),
+        ranked AS (
+            SELECT c.id, c.comp, s.ws_tokens,
+                   row_number() OVER (PARTITION BY c.comp
+                                      ORDER BY s.ws_tokens DESC, c.id) AS rn
+            FROM comp c JOIN score s USING (id))
+        SELECT id AS doc_id, comp, ws_tokens FROM ranked WHERE rn = 1
     """
     o["token_counts"] = r"""
         SELECT doc_id,

@@ -116,3 +116,37 @@ class TestMarginalPairsAreDeterministic:
         assert {100000, 100005, 100010, 100015} <= set(got)
         # the caught near-dup batch copies do not
         assert {100020, 100025}.isdisjoint(set(got))
+
+
+class TestFuzzyDedupE2E:
+    """The fuzzy_dedup_e2e composition: LSH pairs → components →
+    keep-best. Semantic pins beyond the driver oracle hash-match."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @pytest.fixture(scope="class")
+    def kept(self, spark):
+        rows = entry.queries()["fuzzy_dedup_e2e"](spark, self.SF).collect()
+        return {r["doc_id"]: (r["comp"], r["ws_tokens"]) for r in rows}
+
+    def test_one_winner_per_component_and_copies_win(self, kept):
+        # exactly one row per component
+        comps = [c for c, _ in kept.values()]
+        assert len(comps) == len(set(comps))
+        # components that merged an original with its appended copy must
+        # keep the COPY (two more tokens, higher id) — the policy that
+        # distinguishes keep_best from min-id keep-one
+        merged = [d for d in kept if d >= 100000 and (d - 100000) not in kept]
+        assert len(merged) > 0
+        for d in merged:
+            comp, _ = kept[d]
+            # the component label is the min reachable id — an ORIGINAL
+            # (clusters may hold several genuinely-similar originals, so
+            # it need not be this copy's own original)
+            assert comp < 100000
+            assert comp <= d - 100000
+
+    def test_kept_set_differs_from_min_id_keep_one(self, kept):
+        # min-id keep-one would keep comp == doc_id for every row;
+        # keep-best provably deviates on every merged cluster
+        assert any(c != d for d, (c, _) in kept.items())
