@@ -1027,6 +1027,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_canon_dedup"] = q_url_canon_dedup
 
+    def q_url_blocklist(spark, sf_dir):
+        """RefinedWeb-style URL filtering over deterministic URLs: a
+        broadcast domain blocklist that must also catch SUBDOMAINS of a
+        blocked registered domain (suffix explode + semi-join), plus a
+        soft flagged-word score on the URL string (casino/poker, drop at
+        ≥2 hits). Kept rows with host + score; the oracle replays host
+        extraction, suffix matching, and the word score in SQL."""
+        from ocr_system_spark.operators.urls import url_blocklist_filter
+        d = tables.load(spark, sf_dir, "documents")
+        k = F.col("doc_id").cast("string")
+        j = (F.col("doc_id") % 10).cast("string")
+        url = (
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(F.lit("https://ads.tracker"), j,
+                            F.lit(".com/banner?x="), k))
+            .when(F.col("doc_id") % 6 == 1,
+                  F.concat(F.lit("https://sub.shop"), j,
+                           F.lit(".example/p/"), k))
+            .when(F.col("doc_id") % 6 == 2,
+                  F.concat(F.lit("http://news.site"), j,
+                           F.lit(".org/story/"), k))
+            .when(F.col("doc_id") % 6 == 3,
+                  F.concat(F.lit("https://CASINO-fun.win/games/"), k))
+            .when(F.col("doc_id") % 6 == 4,
+                  F.concat(F.lit("http://spam.casino-poker.bet/free-casino?x="), k))
+            .otherwise(
+                F.concat(F.lit("https://cdn.tracker"), j,
+                         F.lit(".com:8080/asset/"), k)))
+        blocked = spark.createDataFrame(
+            [(f"tracker{i}.com",) for i in range(10)] + [("bad.example",)],
+            "host string")
+        kept = url_blocklist_filter(
+            d.select("doc_id", url.alias("url")), blocked,
+            soft_words=["casino", "poker"], max_soft_hits=1)
+        return kept.select("doc_id", "url", "host",
+                           F.col("n_soft_hits").cast("int").alias("n_soft_hits"))
+
+    q["url_blocklist"] = q_url_blocklist
+
     def q_dedup_incremental(spark, sf_dir):
         """Incremental MinHash dedup: a new batch (perturbed copies of
         every 5th doc) deduped AGAINST the persisted signature index of the
@@ -1556,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "url_blocklist",
     "fuzzy_dedup_e2e",
     "quality_tiers_bucketed",
     "paragraph_dedup",
@@ -2182,6 +2222,50 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.95
     """
 
+    # url_blocklist: replay host extraction (same RE2 pattern), the
+    # longest-first suffix relation, blocklist membership incl.
+    # subdomains, and the soft flagged-word score.
+    o["url_blocklist"] = r"""
+        WITH u AS (
+            SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER)
+                WHEN 0 THEN 'https://ads.tracker' || CAST(doc_id % 10 AS VARCHAR)
+                            || '.com/banner?x=' || CAST(doc_id AS VARCHAR)
+                WHEN 1 THEN 'https://sub.shop' || CAST(doc_id % 10 AS VARCHAR)
+                            || '.example/p/' || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN 'http://news.site' || CAST(doc_id % 10 AS VARCHAR)
+                            || '.org/story/' || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN 'https://CASINO-fun.win/games/'
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 4 THEN 'http://spam.casino-poker.bet/free-casino?x='
+                            || CAST(doc_id AS VARCHAR)
+                ELSE 'https://cdn.tracker' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.com:8080/asset/' || CAST(doc_id AS VARCHAR)
+            END AS url
+            FROM documents),
+        h AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(trim(url),
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)',
+                       1)) AS host,
+                   (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END
+                    + CASE WHEN contains(lower(url), 'poker') THEN 1 ELSE 0 END)
+                   AS n_soft_hits
+            FROM u),
+        s AS (
+            SELECT *, string_split(host, '.') AS parts FROM h),
+        blocked AS (
+            SELECT ['tracker0.com','tracker1.com','tracker2.com',
+                    'tracker3.com','tracker4.com','tracker5.com',
+                    'tracker6.com','tracker7.com','tracker8.com',
+                    'tracker9.com','bad.example'] AS bl)
+        SELECT doc_id, url, host, CAST(n_soft_hits AS INTEGER) AS n_soft_hits
+        FROM s, blocked
+        WHERE NOT list_has_any(
+                list_transform(range(1, len(parts) + 1),
+                               i -> array_to_string(parts[i:], '.')),
+                bl)
+          AND n_soft_hits <= 1
+    """
     o["url_canon_dedup"] = """
         WITH w AS (
             SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)

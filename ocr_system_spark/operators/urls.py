@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["TRACKING_PARAM_RE", "canonicalize_url", "url_dedup_groups",
-           "url_dedup"]
+           "url_dedup", "host_of", "host_suffixes", "url_blocklist_filter"]
 
 # anchored, RE2-safe (no lookarounds/backrefs) — replayable in DuckDB
 TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|ref)="
@@ -107,3 +107,75 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     keep = (canon.groupBy("canon_url")
             .agg(F.min(id_col).alias(id_col)))
     return canon.join(keep, ["canon_url", id_col])
+
+
+def host_of(col: Column) -> Column:
+    """Lowercased registered host of an absolute URL: the authority with
+    userinfo and port stripped. Pure JVM expression (RE2-safe pattern —
+    replayable verbatim in DuckDB's regexp_extract). Non-URL strings
+    yield ''."""
+    return F.lower(F.regexp_extract(
+        F.trim(col), r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host, longest first: ``a.b.co`` →
+    ``['a.b.co', 'b.co', 'co']`` — the relation a domain blocklist joins
+    against so that an entry blocks its subdomains too (the public
+    UT1/RefinedWeb blocklists are registered-domain lists). Bounded by
+    the label count (browsers cap hostnames at 253 bytes), so the
+    explode below is a constant-factor expansion, never a blowup."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."))
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocked_hosts: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    soft_words: list[str] | None = None,
+    max_soft_hits: int = 1,
+) -> DataFrame:
+    """RefinedWeb-style URL filtering: drop documents whose host (or any
+    parent domain) is on a blocklist, and documents whose URL accumulates
+    too many "soft" flagged words. Returns the KEPT rows with
+    (id, url, host, n_soft_hits).
+
+    ``blocked_hosts``: a one-column ``host`` relation (lowercase
+    registered domains). Public lists run to millions of rows — far past
+    an IN-literal but comfortably inside Spark's broadcast ceiling as a
+    relation, so membership is a broadcast hash join, never a shuffle of
+    the corpus by host.
+
+    Scale shape (100 TB): hosts explode into ≤ label-count suffix rows
+    (slim: id + suffix string); the broadcast semi-join marks blocked ids
+    and a left_anti on the id removes them — the only corpus shuffle is
+    the anti-join's id-keyed exchange, and AQE converts even that to a
+    broadcast when the blocked-id set is small. The soft-word score is a
+    pure JVM expression chain (no join at all). Past the broadcast
+    ceiling (~8 GB) the same code runs as a shuffled semi-join — flip the
+    hint, nothing else changes.
+
+    Reference: the reference system has no URL layer (it enumerates local
+    files, /root/reference/ocr/pdf.py); this operator covers the URL-
+    filtering stage every public web-curation pipeline runs ahead of
+    content filters (RefinedWeb §3.1 "URL filtering", C4's blocklist)."""
+    host = host_of(F.col(url_col)).alias("host")
+    base = df.select(F.col(id_col), F.col(url_col), host)
+
+    lurl = F.lower(F.col(url_col))
+    n_hits: Column = F.lit(0)
+    for w in soft_words or []:
+        n_hits = n_hits + F.when(F.contains(lurl, F.lit(w)), 1).otherwise(0)
+    base = base.withColumn("n_soft_hits", n_hits.cast("int"))
+
+    blocked_ids = (
+        base.select(id_col, F.explode(host_suffixes(F.col("host"))).alias("h"))
+        .join(F.broadcast(blocked_hosts.select(F.col("host").alias("h"))), "h")
+        .select(id_col))
+    return (base.join(blocked_ids, id_col, "left_anti")
+            .filter(F.col("n_soft_hits") <= max_soft_hits))
