@@ -882,6 +882,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = q_decontaminate
 
+    def q_decontaminate_bloom(spark, sf_dir):
+        """Bloom-gated decontamination: same planted-leak construction as
+        `decontaminate`, but the corpus is pre-gated by a broadcast Bloom
+        BIT ARRAY (the 10⁹-shingle regime where the raw hash set outgrows
+        a broadcast) and only gate survivors are exact-verified by a
+        keyed semi-join. Output = the SURVIVING corpus ids; the oracle is
+        the exact set-intersection definition — false positives must be
+        fully cancelled by the verify stage, false negatives are
+        impossible, so the Bloom path must reproduce the exact answer."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.decontaminate import decontaminate_bloom
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        bench = d.filter(F.col("doc_id") % 10 == 0).select(
+            F.array_join(F.slice(words, 3, 10), " ").alias("text"))
+        kept = decontaminate_bloom(d, bench, n=5, fpp=0.05)
+        return kept.select("doc_id")
+
+    q["decontaminate_bloom"] = q_decontaminate_bloom
+
     def q_zscore_by_lang(spark, sf_dir):
         """Per-language standardization of doc length (the per-group
         calibration a curation pipeline applies before thresholding) —
@@ -1595,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "decontaminate_bloom",
     "url_blocklist",
     "fuzzy_dedup_e2e",
     "quality_tiers_bucketed",
@@ -3078,6 +3099,28 @@ def oracle_sql() -> dict[str, str]:
     # decontamination oracle: string shingle sets (the hash-free ground
     # truth), benchmark = words 3..12 of every 10th doc, n=5 — count of a
     # doc's DISTINCT 5-grams present in the benchmark's 5-gram set.
+    # decontaminate_bloom: the exact set-intersection definition — the
+    # Bloom gate + verify must reproduce it bit-for-bit (no fpp leakage).
+    o["decontaminate_bloom"] = r"""
+        WITH corp AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents),
+        csh AS (
+            SELECT doc_id AS id,
+                   list_distinct(list_transform(range(1, len(w) - 3),
+                                                i -> array_to_string(w[i:i+4], ' '))) AS s
+            FROM corp WHERE len(w) >= 5),
+        bw AS (SELECT w[3:12] AS v FROM corp WHERE doc_id % 10 = 0),
+        bsh AS (
+            SELECT DISTINCT array_to_string(v[i:i+4], ' ') AS s
+            FROM (SELECT v, unnest(range(1, len(v) - 3)) AS i
+                  FROM bw WHERE len(v) >= 5)),
+        dirty AS (
+            SELECT DISTINCT id
+            FROM (SELECT id, unnest(s) AS s FROM csh) JOIN bsh USING (s))
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM dirty)
+    """
     o["decontaminate"] = r"""
         WITH corp AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
