@@ -1442,6 +1442,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_encode"] = q_bpe_encode
 
+    def q_bpe_encode_ranked(spark, sf_dir):
+        """The O(word-length) rank-cursor encoder (the 32k-merge
+        production path) on the same trained merges — bit-identical to
+        the expression-chain encoder by the cursor argument, so it
+        shares `bpe_encode`'s full SQL training+encode replay oracle."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.bpe import (
+            bpe_encode_ranked, bpe_train)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        return bpe_encode_ranked(d, bpe_train(d, n_merges=8))
+
+    q["bpe_encode_ranked"] = q_bpe_encode_ranked
+
     def q_quality_model_score(spark, sf_dir):
         """Model-based quality filter plumbing (CCNet/fastText stage):
         per-doc linear bag-of-words score with the deterministic md5 stub
@@ -1615,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "bpe_encode_ranked",
     "decontaminate_bloom",
     "url_blocklist",
     "fuzzy_dedup_e2e",
@@ -3514,6 +3528,7 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_subwords
         FROM enc GROUP BY id
     """
+    o["bpe_encode_ranked"] = o["bpe_encode"]
 
     # hashed linear quality score: md5-hex stub weight replayed digit by
     # digit (strpos over the hex alphabet — no numeric hex parsing)

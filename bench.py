@@ -19,8 +19,9 @@ Workloads:
 * line_dedup / c4_filters — line-level curation (added round 4: the suite
   TOTAL is not comparable to rounds <= 3; compare per-query, or subtract
   these two from the total).
-* paragraph_dedup / quality_tiers_bucketed — round-5 additions (NFC
-  normalize → CCNet paragraph pass; two-pass equal-count tier binning).
+* paragraph_dedup / quality_tiers_bucketed / fuzzy_dedup_e2e — round-5
+  additions (NFC normalize → CCNet paragraph pass; two-pass equal-count
+  tier binning; LSH pairs → components → keep-best composition).
   Suite TOTAL is again not comparable to round 4 — compare per-query.
 """
 
@@ -197,6 +198,11 @@ def main() -> None:
         qmap["quality_tiers_bucketed"](spark, SF_DIR).count()
 
     timed("quality_tiers_bucketed", run_quality_tiers)
+
+    def run_fuzzy_dedup_e2e():
+        qmap["fuzzy_dedup_e2e"](spark, SF_DIR).count()
+
+    timed("fuzzy_dedup_e2e", run_fuzzy_dedup_e2e)
 
     # ---- similarity ---------------------------------------------------------
     emb = load(spark, SF_DIR, "embeddings")

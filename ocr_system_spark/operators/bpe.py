@@ -56,8 +56,9 @@ from ocr_system_spark.functions.tokens import (
     lower_ascii_tokens,
 )
 
-__all__ = ["bpe_train", "bpe_train_batched", "bpe_encode",
-           "bpe_encode_batched", "word_vocabulary"]
+__all__ = ["bpe_train", "bpe_train_batched", "bpe_train_local",
+           "bpe_encode", "bpe_encode_batched", "bpe_encode_ranked",
+           "word_vocabulary"]
 
 SEP = "\x1f"
 EOW = "\x1e"
@@ -462,6 +463,98 @@ def bpe_encode_batched(df: DataFrame,
                 n = s.count(SEP) // 2
                 cache[w] = n
             return n
+
+        nt, ns = [], []
+        for t in texts.tolist():
+            words = [w for w in tok_re.findall((t or "").translate(trans))
+                     if SEP not in w and EOW not in w]
+            nt.append(len(words))
+            ns.append(sum(word_syms(w) for w in words))
+        return pd.DataFrame({"n_tokens": nt, "n_subwords": ns},
+                            index=texts.index)
+
+    out = df.select(F.col(id_col).alias("id"),
+                    udf(F.col(text_col)).alias("e"))
+    return (out.filter(F.col("e.n_tokens") > 0)
+            .select("id", F.col("e.n_tokens").alias("n_tokens"),
+                    F.col("e.n_subwords").alias("n_subwords")))
+
+
+def bpe_encode_ranked(df: DataFrame,
+                      merges: list[tuple[int, str, str, int]],
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """BIT-IDENTICAL to ``bpe_encode``/``bpe_encode_batched``, at
+    O(word-length) per unique word instead of O(n_merges): the encoder a
+    32k-merge production vocabulary actually needs.
+
+    ``bpe_encode_batched`` scans the FULL merge-pattern list per unique
+    word (32k ``str.replace`` calls/word — per-word cost grows with the
+    vocabulary).  This encoder replays the sequential semantics with a
+    rank cursor over the word's own adjacent pairs: between merge
+    applications the word is static, so the next merge the sequential
+    pass applies is exactly the present pair with the minimum rank ≥
+    cursor; apply it leftmost-non-overlapping (the proven double-
+    separator ``replace`` semantics on symbol lists), advance the cursor
+    past its rank, repeat.  Per-word cost is O(applied · len) — bounded
+    by the word, independent of vocabulary size.  A pair can hold
+    SEVERAL ranks (training may re-select a pair whose adjacency is
+    re-created by a later ambiguous concatenation); the per-pair sorted
+    rank list + bisect keeps that case sequential-exact.
+
+    Parity with the expression-chain/batched encoders is pinned by
+    tests/test_round5_bpe_ranked.py (trained merges over adversarial
+    reduplicated + Zipfian corpora) and the driver oracle (same SQL
+    replay as `bpe_encode`)."""
+    from bisect import bisect_left
+
+    ranks: dict[tuple[str, str], list[int]] = {}
+    pairs_at: list[tuple[str, str]] = []
+    for pos, (_, l, r, _) in enumerate(merges):
+        ranks.setdefault((l, r), []).append(pos)
+        pairs_at.append((l, r))
+
+    schema = T.StructType([
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("n_subwords", T.LongType(), False),
+    ])
+    tok_re = re.compile(_TOKEN_CLASS)
+    trans = str.maketrans(_UPPER, _LOWER)
+
+    @F.pandas_udf(schema)
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+
+        def word_syms(w: str) -> int:
+            n = cache.get(w)
+            if n is not None:
+                return n
+            syms: list[str] = list(w) + [EOW]
+            cursor = 0
+            while len(syms) > 1:
+                best = -1
+                for i in range(len(syms) - 1):
+                    lst = ranks.get((syms[i], syms[i + 1]))
+                    if lst:
+                        j = bisect_left(lst, cursor)
+                        if j < len(lst) and (best < 0 or lst[j] < best):
+                            best = lst[j]
+                if best < 0:
+                    break
+                l, r = pairs_at[best]
+                out: list[str] = []
+                i, k = 0, len(syms)
+                while i < k:
+                    if (i + 1 < k and syms[i] == l and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                cursor = best + 1
+            cache[w] = len(syms)
+            return len(syms)
 
         nt, ns = [], []
         for t in texts.tolist():
