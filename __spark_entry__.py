@@ -1616,6 +1616,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["normalize_dedup"] = q_normalize_dedup
 
+    def q_lm_perplexity(spark, sf_dir):
+        """CCNet-shaped LM quality scoring: an add-one bigram LM trained
+        on the md5-lottery 'train' split scores the 'holdout' split.
+        Each bigram's log term is quantized to integer micros BEFORE the
+        per-doc sum, so the log-likelihood is integer-exact and
+        order-independent (operators/lm.py).  The oracle replays split,
+        training, and scoring end-to-end in SQL."""
+        from ocr_system_spark.operators.lm import bigram_lm_score
+        from ocr_system_spark.operators.sampling import with_split
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        s = with_split(d, holdout_sixteenths=2)
+        return bigram_lm_score(s.filter(F.col("split") == "holdout"),
+                               s.filter(F.col("split") == "train"))
+
+    q["lm_perplexity"] = q_lm_perplexity
+
     return _reorder_for_driver_window(q)
 
 
@@ -1628,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "lm_perplexity",
     "bpe_encode_ranked",
     "decontaminate_bloom",
     "url_blocklist",
@@ -3698,5 +3715,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(tf * corpus_tf) AS BIGINT) AS freq_sum
         FROM tf JOIN vocab USING (term)
         GROUP BY id
+    """
+    o["lm_perplexity"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+') AS toks,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM documents),
+        trbg AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c2
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                  FROM base WHERE split = 'train')
+            GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(c2) AS c1 FROM trbg GROUP BY 1),
+        voc AS (SELECT count(DISTINCT t) AS v
+                FROM (SELECT unnest(toks) AS t FROM base
+                      WHERE split = 'train')),
+        hobg AS (
+            SELECT id, toks[i] AS w1, toks[i + 1] AS w2, count(*) AS tf
+            FROM (SELECT id, toks, unnest(range(1, len(toks))) AS i
+                  FROM base WHERE split = 'holdout')
+            GROUP BY 1, 2, 3),
+        j AS (
+            SELECT id, tf, coalesce(c2, 0) AS c2, coalesce(c1, 0) AS c1,
+                   (SELECT v FROM voc) AS v
+            FROM hobg LEFT JOIN trbg USING (w1, w2)
+                      LEFT JOIN ctx USING (w1))
+        SELECT id,
+               CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN c2 > 0 THEN tf ELSE 0 END) AS BIGINT)
+                   AS known_bigrams,
+               CAST(sum(tf * CAST(round((ln(c2 + 1) - ln(c1 + v)) * 1000000)
+                                  AS BIGINT)) AS BIGINT) AS logprob_micro
+        FROM j GROUP BY id
     """
     return o
