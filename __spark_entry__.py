@@ -1632,6 +1632,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_perplexity"] = q_lm_perplexity
 
+    def q_dsir_weights(spark, sf_dir):
+        """DSIR data selection (Xie et al. 2023): importance log-weights
+        of the 'holdout' split under hashed unigram+bigram models fitted
+        on the 'train' split (target) vs the holdout itself (raw).
+        Per-bucket log-likelihood ratios are quantized to integer micros
+        before the tf-weighted sum, so weights are integer-exact
+        (operators/dsir.py).  The oracle replays split, feature hashing
+        (md5 hex-digit decode), both models, and scoring end-to-end."""
+        from ocr_system_spark.operators.dsir import dsir_logweight
+        from ocr_system_spark.operators.sampling import with_split
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        s = with_split(d, holdout_sixteenths=2)
+        return dsir_logweight(s.filter(F.col("split") == "holdout"),
+                              s.filter(F.col("split") == "train"))
+
+    q["dsir_weights"] = q_dsir_weights
+
     return _reorder_for_driver_window(q)
 
 
@@ -1644,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "dsir_weights",
     "lm_perplexity",
     "bpe_encode_ranked",
     "decontaminate_bloom",
@@ -3751,6 +3769,53 @@ def oracle_sql() -> dict[str, str]:
                    AS known_bigrams,
                CAST(sum(tf * CAST(round((ln(c2 + 1) - ln(c1 + v)) * 1000000)
                                   AS BIGINT)) AS BIGINT) AS logprob_micro
+        FROM j GROUP BY id
+    """
+    o["dsir_weights"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+') AS toks,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM documents),
+        feat AS (
+            SELECT id, split, unnest(toks) AS feat FROM base
+            UNION ALL
+            SELECT id, split, toks[i] || ' ' || toks[i + 1] AS feat
+            FROM (SELECT id, split, toks, unnest(range(1, len(toks))) AS i
+                  FROM base)),
+        fb AS (
+            SELECT id, split,
+                   ((instr('0123456789abcdef', substr(md5(feat), 1, 1)) - 1)
+                      * 4096
+                  + (instr('0123456789abcdef', substr(md5(feat), 2, 1)) - 1)
+                      * 256
+                  + (instr('0123456789abcdef', substr(md5(feat), 3, 1)) - 1)
+                      * 16
+                  + (instr('0123456789abcdef', substr(md5(feat), 4, 1)) - 1))
+                   % 1024 AS bucket
+            FROM feat),
+        tgt AS (SELECT bucket, count(*) AS cp FROM fb
+                WHERE split = 'train' GROUP BY 1),
+        raw AS (SELECT bucket, count(*) AS cq FROM fb
+                WHERE split = 'holdout' GROUP BY 1),
+        doc AS (SELECT id, bucket, count(*) AS tf FROM fb
+                WHERE split = 'holdout' GROUP BY 1, 2),
+        j AS (
+            SELECT id, tf, coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq,
+                   (SELECT sum(cp) FROM tgt) AS np,
+                   (SELECT sum(cq) FROM raw) AS nq
+            FROM doc LEFT JOIN tgt USING (bucket)
+                     LEFT JOIN raw USING (bucket))
+        SELECT id,
+               CAST(sum(tf) AS BIGINT) AS n_feats,
+               CAST(sum(tf * CAST(round(
+                       ((ln(cp + 1) - ln(np + 1024))
+                        - (ln(cq + 1) - ln(nq + 1024))) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS logweight_micro
         FROM j GROUP BY id
     """
     return o

@@ -88,10 +88,21 @@ def bigram_lm_score(score_df: DataFrame, train_df: DataFrame,
     the floor probability is 1/V).  Each bigram type's log term is
     quantized to integer micros BEFORE the tf-weighted per-doc sum — the
     whole result is integer-exact (see module docstring)."""
-    model = bigram_counts(train_df, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # The model is vocabulary-sized; persist so ctx derivation and the
+    # scoring join reuse one training-corpus scan (reference-based
+    # ContextCleaner releases it, the quality_tiers_bucketed precedent).
+    model = (bigram_counts(train_df, id_col, text_col)
+             .persist(StorageLevel.MEMORY_AND_DISK))
     ctx = model.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
-    vocab = (exploded_terms(train_df, id_col, text_col)
-             .agg(F.countDistinct("term").cast("long").alias("v")))
+    # V is a 1-row bounded driver collect (the same contract as the BPE
+    # argmax and IVF centroid collects): a lazy 1-row relation would need
+    # a cross/constant-key join, which Catalyst plans as the
+    # BroadcastNestedLoopJoin the fleet-wide plan gate bans.
+    v = int(exploded_terms(train_df, id_col, text_col)
+            .agg(F.countDistinct("term").cast("long").alias("v"))
+            .first()["v"] or 0)
 
     tf = (bigrams(score_df, id_col, text_col)
           .groupBy("id", "w1", "w2")
@@ -99,12 +110,11 @@ def bigram_lm_score(score_df: DataFrame, train_df: DataFrame,
 
     j = (tf.join(model, ["w1", "w2"], "left")
            .join(ctx, ["w1"], "left")
-           .crossJoin(F.broadcast(vocab))
            .select(
                "id", "tf",
                F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
                F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
-               "v"))
+               F.lit(v).cast("long").alias("v")))
     logp_micro = F.round(
         (F.log(F.col("c2") + 1) - F.log(F.col("c1") + F.col("v")))
         * LOG_MICROS).cast("long")
