@@ -1649,6 +1649,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = q_dsir_weights
 
+    def q_dsir_resample(spark, sf_dir):
+        """DSIR Gumbel-top-k selection: deterministic md5-derived Gumbel
+        draws (integer micros) added to the importance log-weights, top
+        50 keys kept — sampling-without-replacement ∝ exp(weight),
+        reproducible across engines (operators/dsir.py).  The plan is a
+        TakeOrderedAndProject, never a full sort."""
+        from ocr_system_spark.operators.dsir import (dsir_logweight,
+                                                     dsir_resample)
+        from ocr_system_spark.operators.sampling import with_split
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        s = with_split(d, holdout_sixteenths=2)
+        w = dsir_logweight(s.filter(F.col("split") == "holdout"),
+                           s.filter(F.col("split") == "train"))
+        return dsir_resample(w, k=50)
+
+    q["dsir_resample"] = q_dsir_resample
+
+    def q_perplexity_tiers(spark, sf_dir):
+        """CCNet's head/middle/tail bucketing: per-doc mean bigram NLL
+        in integer micros (exact positive integer division — Spark `div`
+        and DuckDB `//` agree on non-negative operands) binned into 3
+        equal-count tiers by the scale-safe two-pass binning (tier 1 =
+        lowest NLL = head)."""
+        from ocr_system_spark.operators.lm import bigram_lm_score
+        from ocr_system_spark.operators.quality_model import (
+            quality_tiers_bucketed)
+        from ocr_system_spark.operators.sampling import with_split
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        s = with_split(d, holdout_sixteenths=2)
+        scored = bigram_lm_score(s.filter(F.col("split") == "holdout"),
+                                 s.filter(F.col("split") == "train"))
+        nll = scored.select(
+            "id", F.expr("(-logprob_micro) div n_bigrams").alias("score"))
+        return quality_tiers_bucketed(nll, n_tiers=3)
+
+    q["perplexity_tiers"] = q_perplexity_tiers
+
     return _reorder_for_driver_window(q)
 
 
@@ -1661,6 +1698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "dsir_resample",
+    "perplexity_tiers",
     "dsir_weights",
     "lm_perplexity",
     "bpe_encode_ranked",
@@ -3817,5 +3856,56 @@ def oracle_sql() -> dict[str, str]:
                         - (ln(cq + 1) - ln(nq + 1024))) * 1000000)
                      AS BIGINT)) AS BIGINT) AS logweight_micro
         FROM j GROUP BY id
+    """
+    _dsir_weights_ctes = o["dsir_weights"].rsplit("SELECT id,", 1)[0]
+    o["dsir_resample"] = _dsir_weights_ctes + """
+        , weights AS (
+            SELECT id,
+                   CAST(sum(tf) AS BIGINT) AS n_feats,
+                   CAST(sum(tf * CAST(round(
+                           ((ln(cp + 1) - ln(np + 1024))
+                            - (ln(cq + 1) - ln(nq + 1024))) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS logweight_micro
+            FROM j GROUP BY id),
+        gum AS (
+            SELECT *,
+                   CAST(round(-ln(-ln(
+                       (((instr('0123456789abcdef',
+                                substr(md5('gumbel:' ||
+                                           CAST(id AS VARCHAR)), 1, 1)) - 1)
+                            * 4096
+                         + (instr('0123456789abcdef',
+                                  substr(md5('gumbel:' ||
+                                             CAST(id AS VARCHAR)), 2, 1)) - 1)
+                            * 256
+                         + (instr('0123456789abcdef',
+                                  substr(md5('gumbel:' ||
+                                             CAST(id AS VARCHAR)), 3, 1)) - 1)
+                            * 16
+                         + (instr('0123456789abcdef',
+                                  substr(md5('gumbel:' ||
+                                             CAST(id AS VARCHAR)), 4, 1)) - 1))
+                        + 1) / 65537.0)) * 1000000) AS BIGINT)
+                   AS gumbel_micro
+            FROM weights)
+        SELECT id, n_feats, logweight_micro, gumbel_micro,
+               CAST(logweight_micro + gumbel_micro AS BIGINT) AS key_micro
+        FROM gum
+        ORDER BY key_micro DESC, id ASC
+        LIMIT 50
+    """
+    _lm_ctes = o["lm_perplexity"].rsplit("SELECT id,", 1)[0]
+    o["perplexity_tiers"] = _lm_ctes + """
+        , scored AS (
+            SELECT id,
+                   CAST((-CAST(sum(tf * CAST(round((ln(c2 + 1) - ln(c1 + v))
+                                                   * 1000000) AS BIGINT))
+                               AS BIGINT))
+                        // CAST(sum(tf) AS BIGINT) AS BIGINT) AS score
+            FROM j GROUP BY id)
+        SELECT id, score,
+               CAST(ntile(3) OVER (ORDER BY score ASC, id ASC) AS INTEGER)
+               AS tier
+        FROM scored
     """
     return o

@@ -34,12 +34,12 @@ Dataflow (all counts exact, all log terms integer-quantized):
   paper's setting, where the raw distribution IS the corpus being
   scored.
 
-Selection downstream is ordinary relational work: rank by
-(logweight_micro, id) and keep top-k, or feed the weights to the
-tier-binning machinery (`quality_model.quality_tiers_bucketed`).  The
-paper's Gumbel-top-k resampling variant needs a per-doc random draw; do
-it with the md5-lottery idiom (`operators/sampling.py`) if sampled (not
-top-k) selection is required.
+Selection downstream: ``dsir_resample`` implements the paper's
+Gumbel-top-k importance resampling (deterministic md5-derived Gumbel
+draws in integer micros, global top-k — never a full sort); plain top-k
+by (logweight_micro, id) or the tier-binning machinery
+(`quality_model.quality_tiers_bucketed`) are the non-sampled
+alternatives.
 
 Scale shape at 100 TB: corpora collapse to (id, bucket, tf) — at most
 n_buckets rows per doc — before any join; both model relations are
@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from ocr_system_spark.functions.tokens import lower_ascii_tokens
 
 __all__ = ["hashed_features", "bucket_counts", "dsir_logweight",
-           "feature_bucket_expr"]
+           "dsir_resample", "feature_bucket_expr", "gumbel_micro_expr"]
 
 LOG_MICROS = 1_000_000
 _HEX = "0123456789abcdef"
@@ -163,3 +163,47 @@ def dsir_logweight(score_df: DataFrame, target_df: DataFrame,
              .agg(F.sum("tf").cast("long").alias("n_feats"),
                   F.sum(F.col("tf") * F.col("lr")).cast("long")
                    .alias("logweight_micro")))
+
+
+def gumbel_micro_expr(id_col: Column) -> Column:
+    """Deterministic per-document Gumbel(0, 1) draw in integer micros:
+    ``round(1e6 · -ln(-ln(u)))`` with ``u = (h + 1) / 65537`` and ``h``
+    the first four hex digits of ``md5('gumbel:' || id)`` — u lies
+    strictly inside (0, 1), the draw is reproducible forever per id, and
+    the salt decorrelates it from the split lottery
+    (`sampling.with_split`), which hashes the bare id."""
+    h = F.md5(F.encode(F.concat(F.lit("gumbel:"),
+                                id_col.cast("string")), "UTF-8"))
+
+    def digit(i: int) -> Column:
+        return F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
+
+    val = digit(1) * 4096 + digit(2) * 256 + digit(3) * 16 + digit(4)
+    u = (val + 1) / F.lit(float(_HASH_DOMAIN + 1))
+    return F.round(-F.log(-F.log(u)) * LOG_MICROS).cast("long")
+
+
+def dsir_resample(weights: DataFrame, k: int,
+                  id_col: str = "id",
+                  weight_col: str = "logweight_micro") -> DataFrame:
+    """The paper's Gumbel-top-k importance RESAMPLING over the output of
+    :func:`dsir_logweight`: add a deterministic Gumbel draw to each log
+    weight and keep the k largest keys — equivalent to sampling k docs
+    without replacement with probability ∝ exp(weight).  Returns the
+    input columns plus (gumbel_micro, key_micro), ordered by
+    (key desc, id asc) — ties broken by id, so selection is exact across
+    engines and reruns.
+
+    Scale shape: a global top-k (TakeOrderedAndProject — per-partition
+    partial top-k, k rows to the driver-side merge), never a full sort;
+    k is the training-budget-sized constant of the paper's setting."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    g = gumbel_micro_expr(F.col(id_col))
+    return (weights
+            .withColumn("gumbel_micro", g)
+            .withColumn("key_micro",
+                        (F.col(weight_col) + F.col("gumbel_micro"))
+                        .cast("long"))
+            .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -10,6 +10,7 @@ from ocr_system_spark.operators.dsir import (
     LOG_MICROS,
     bucket_counts,
     dsir_logweight,
+    dsir_resample,
     hashed_features,
 )
 
@@ -137,3 +138,53 @@ class TestDsirLogweight:
              .collect()}
         exp, _ = _py_model(["x y", "x"], 32)
         assert m == exp
+
+
+def _py_gumbel_micro(doc_id):
+    h = int(hashlib.md5(f"gumbel:{doc_id}".encode()).hexdigest()[:4], 16)
+    u = (h + 1) / 65537.0
+    return _round_half_away(-math.log(-math.log(u)) * LOG_MICROS)
+
+
+class TestDsirResample:
+    def _weights(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, n_feats long, logweight_micro long")
+
+    def test_matches_python_mirror(self, spark):
+        rows = [(i, 5, w) for i, w in
+                [(0, 100), (1, -50), (2, 900), (3, 0), (4, 400)]]
+        got = dsir_resample(self._weights(spark, rows), k=3).collect()
+        keys = sorted(((w + _py_gumbel_micro(i), i) for i, _, w in rows),
+                      key=lambda t: (-t[0], t[1]))[:3]
+        assert [(r["id"], r["key_micro"]) for r in got] == \
+            [(i, k) for k, i in keys]
+        for r in got:
+            assert r["gumbel_micro"] == _py_gumbel_micro(r["id"])
+            assert r["key_micro"] == r["logweight_micro"] + r["gumbel_micro"]
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [(i, 1, (i * 37) % 11 * 1000) for i in range(40)]
+        df = self._weights(spark, rows)
+        a = [tuple(r) for r in dsir_resample(df, k=10).collect()]
+        b = [tuple(r) for r in dsir_resample(df.repartition(13), k=10)
+             .collect()]
+        assert a == b and len(a) == 10
+
+    def test_k_at_least_corpus_keeps_all(self, spark):
+        df = self._weights(spark, [(i, 1, 0) for i in range(5)])
+        assert len(dsir_resample(df, k=99).collect()) == 5
+
+    def test_k_validated(self, spark):
+        df = self._weights(spark, [(0, 1, 0)])
+        with pytest.raises(ValueError):
+            dsir_resample(df, k=0)
+
+    def test_plan_is_topk_not_full_sort(self, spark):
+        """Global top-k must compile to TakeOrderedAndProject (partial
+        per-partition top-k), never a full Sort + Exchange(range)."""
+        df = self._weights(spark, [(i, 1, 0) for i in range(10)])
+        plan = dsir_resample(df, k=3)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "rangepartitioning" not in plan.lower()
