@@ -1686,6 +1686,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["perplexity_tiers"] = q_perplexity_tiers
 
+    def q_host_pagerank(spark, sf_dir):
+        """Host link-graph centrality (the Common-Crawl host-rank signal):
+        5 rounds of integer-exact weighted PageRank (damping 17/20, ranks
+        in micro-units of a 10^12 total mass) over a deterministic host
+        graph — each doc on host h(doc_id % 23) links three arithmetic-
+        derived hosts.  The oracle unrolls all 5 iterations as CTEs (the
+        bpe_train precedent).  Plan: host-keyed joins/aggs only — the
+        corpus-sized relation is touched once to build the edge list
+        (operators/linkgraph.py)."""
+        from ocr_system_spark.operators.linkgraph import host_edges, pagerank
+        d = tables.load(spark, sf_dir, "documents").select("doc_id")
+        links = (d.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"))
+            .alias("src"),
+            F.explode(F.array(
+                (F.col("doc_id") * 7 + 1) % 23,
+                (F.col("doc_id") * 11 + 3) % 23,
+                (F.col("doc_id") * 13 + 5) % 23)).alias("dn"))
+            .select("src", F.concat(F.lit("h"), F.col("dn").cast("string"))
+                    .alias("dst")))
+        return (pagerank(host_edges(links), n_iter=5)
+                .select(F.col("node").alias("host"), "rank_micro"))
+
+    q["host_pagerank"] = q_host_pagerank
+
+    def q_bm25_topk(spark, sf_dir):
+        """BM25 top-10 retrieval for a 4-query workload over the documents
+        corpus: per (query-term, doc) contribution quantized to integer
+        micros before the per-doc sum (lm.py idiom), per-query top-k via
+        the map-side WindowGroupLimit window.  The oracle replays index
+        build + scoring + ranking end-to-end (operators/retrieval.py)."""
+        from ocr_system_spark.operators.retrieval import bm25_topk
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        queries_df = spark.createDataFrame(
+            [(0, "table"), (0, "scan"), (1, "hash"), (1, "merge"),
+             (2, "sort"), (2, "window"), (3, "spark"), (3, "fast"),
+             (3, "line")],
+            "query_id long, term string")
+        return bm25_topk(d, queries_df, k=10)
+
+    q["bm25_topk"] = q_bm25_topk
+
     return _reorder_for_driver_window(q)
 
 
@@ -1698,6 +1740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "host_pagerank",
+    "bm25_topk",
     "dsir_resample",
     "perplexity_tiers",
     "dsir_weights",
@@ -3907,5 +3951,93 @@ def oracle_sql() -> dict[str, str]:
                CAST(ntile(3) OVER (ORDER BY score ASC, id ASC) AS INTEGER)
                AS tier
         FROM scored
+    """
+
+    # host PageRank: all 5 integer-exact iterations unrolled as CTEs (the
+    # bpe_train precedent) — base = ((scale//N)*3)//20, damping 17/20,
+    # per-edge contribution (r*w)//outw, dangling mass dropped
+    _pr_parts = ["""
+        links AS (
+            SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                   'h' || CAST(dn AS VARCHAR) AS dst
+            FROM (SELECT doc_id,
+                         unnest([(doc_id * 7 + 1) % 23,
+                                 (doc_id * 11 + 3) % 23,
+                                 (doc_id * 13 + 5) % 23]) AS dn
+                  FROM documents)),
+        e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+              FROM links WHERE src <> dst GROUP BY 1, 2),
+        nodes AS (SELECT DISTINCT node
+                  FROM (SELECT src AS node FROM e
+                        UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+        r0 AS (SELECT node,
+                      CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
+                      AS r
+               FROM nodes)"""]
+    for _k in range(5):
+        _pr_parts.append(f"""
+        c{_k} AS (SELECT dst, sum((r * w) // outw) AS inc
+                  FROM e JOIN r{_k} ON e.src = r{_k}.node
+                         JOIN ow ON e.src = ow.src
+                  GROUP BY dst),
+        r{_k + 1} AS (SELECT nodes.node,
+                      CAST(((1000000000000 // (SELECT n FROM nn)) * 3) // 20
+                           + (17 * coalesce(inc, 0)) // 20 AS BIGINT) AS r
+               FROM nodes LEFT JOIN c{_k} ON nodes.node = c{_k}.dst)""")
+    o["host_pagerank"] = ("WITH " + ",".join(_pr_parts) + """
+        SELECT node AS host, r AS rank_micro FROM r5
+    """)
+
+    # BM25: index build + scoring replayed end-to-end; the double-math
+    # expression below mirrors operators/retrieval.py token-for-token
+    # (pinned operation order) and each contribution is rounded to micros
+    # BEFORE the per-doc sum, so the score is an exact integer aggregate
+    o["bm25_topk"] = """
+        WITH tf AS (
+            SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id AS id,
+                         unnest(regexp_extract_all(
+                             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                             'abcdefghijklmnopqrstuvwxyz'),
+                             '[^\t\n\f\r ]+')) AS term
+                  FROM documents)
+            GROUP BY 1, 2),
+        dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST((SELECT sum(tf) FROM tf) AS BIGINT) AS l
+               FROM dl),
+        dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+        q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+              FROM (VALUES (0, 'table'), (0, 'scan'), (1, 'hash'),
+                           (1, 'merge'), (2, 'sort'), (2, 'window'),
+                           (3, 'spark'), (3, 'fast'), (3, 'line'))
+                   AS v(query_id, term)),
+        m AS (SELECT q.query_id, tf.id, tf.tf, dl.dl, dfr.df,
+                     (SELECT n FROM st) AS n, (SELECT l FROM st) AS l
+              FROM tf JOIN q USING (term)
+                      JOIN dfr USING (term)
+                      JOIN dl USING (id)),
+        c AS (SELECT query_id, id,
+                     CAST(round(
+                         ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5)
+                                  / (df + 0.5))
+                         * (tf * (1.2 + 1.0)
+                            / (tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * (CAST(dl AS DOUBLE) * n / l))))
+                         * 1000000) AS BIGINT) AS c
+              FROM m),
+        s AS (SELECT query_id, id, CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(c) AS BIGINT) AS score_micro
+              FROM c GROUP BY 1, 2),
+        r AS (SELECT query_id, id, n_terms, score_micro,
+                     CAST(row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY score_micro DESC, id ASC) AS INTEGER)
+                     AS rn
+              FROM s)
+        SELECT * FROM r WHERE rn <= 10
     """
     return o
