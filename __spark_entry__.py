@@ -1728,6 +1728,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_topk"] = q_bm25_topk
 
+    def q_token_budget_mixture(spark, sf_dir):
+        """Token-budget data mixing ("k tokens of lang X, m of lang Y"):
+        per-lang char budgets consumed in md5-lottery order — en/de
+        budget-bound, zh zeroed out, fr effectively unlimited, es on the
+        None (no-limit) default.  The operator is the bucketed
+        three-step (no corpus-sized prefix-sum window); the oracle
+        states the NAIVE one-window cumulative definition — exact
+        equivalence is the point (operators/sampling.py)."""
+        from ocr_system_spark.operators.sampling import budget_sample
+        d = tables.load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        return budget_sample(
+            d, "lang",
+            {"en": 30000, "de": 10000, "zh": 0, "fr": 999999999},
+            weight_col="n_chars", default_budget=None)
+
+    q["token_budget_mixture"] = q_token_budget_mixture
+
+    def q_training_order(spark, sf_dir):
+        """Deterministic global training-order shuffle: every doc gets a
+        (shard, pos) — shard from two md5 hex digits mod 7, pos a dense
+        shard-keyed row_number in ticket order.  Reading shards in order
+        yields the same pseudorandom permutation on any engine
+        (operators/sampling.py)."""
+        from ocr_system_spark.operators.sampling import training_order
+        d = tables.load(spark, sf_dir, "documents").select("doc_id")
+        return training_order(d, n_shards=7)
+
+    q["training_order"] = q_training_order
+
     return _reorder_for_driver_window(q)
 
 
@@ -1740,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "token_budget_mixture",
+    "training_order",
     "host_pagerank",
     "bm25_topk",
     "dsir_resample",
@@ -4039,5 +4071,43 @@ def oracle_sql() -> dict[str, str]:
                      AS rn
               FROM s)
         SELECT * FROM r WHERE rn <= 10
+    """
+
+    # token-budget mixing: the oracle states the NAIVE per-group
+    # cumulative rule (one window); the operator's bucketed three-step
+    # must match it bit-for-bit
+    o["token_budget_mixture"] = """
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                          md5(CAST(doc_id AS VARCHAR)) AS tk
+                   FROM documents),
+        c AS (SELECT doc_id, lang, n_chars,
+                     sum(n_chars) OVER (PARTITION BY lang
+                                        ORDER BY tk ASC, doc_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t),
+        b AS (SELECT *, CASE lang WHEN 'en' THEN 30000
+                                  WHEN 'de' THEN 10000
+                                  WHEN 'zh' THEN 0
+                                  WHEN 'fr' THEN 999999999
+                                  ELSE NULL END AS budget
+              FROM c)
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM b WHERE budget IS NULL OR cum <= budget
+    """
+
+    o["training_order"] = """
+        WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS tk
+                   FROM documents),
+        s AS (SELECT doc_id, tk,
+                     CAST(((instr('0123456789abcdef', substr(tk, 1, 1)) - 1)
+                            * 16
+                           + (instr('0123456789abcdef', substr(tk, 2, 1))
+                              - 1)) % 7 AS INTEGER) AS shard
+              FROM t)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY tk ASC, doc_id ASC)
+                    AS INTEGER) AS pos
+        FROM s
     """
     return o

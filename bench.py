@@ -204,6 +204,16 @@ def main() -> None:
 
     timed("fuzzy_dedup_e2e", run_fuzzy_dedup_e2e)
 
+    def run_host_pagerank():
+        qmap["host_pagerank"](spark, SF_DIR).count()
+
+    timed("host_pagerank", run_host_pagerank)
+
+    def run_bm25_topk():
+        qmap["bm25_topk"](spark, SF_DIR).count()
+
+    timed("bm25_topk", run_bm25_topk)
+
     # ---- similarity ---------------------------------------------------------
     emb = load(spark, SF_DIR, "embeddings")
 

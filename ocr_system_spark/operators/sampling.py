@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cap_per_group", "with_split", "mixture_sample", "md5_key"]
+__all__ = ["cap_per_group", "with_split", "mixture_sample", "md5_key",
+           "budget_sample", "training_order"]
 
 
 def md5_key(col: Column) -> Column:
@@ -88,6 +89,134 @@ def mixture_sample(
                       F.lit(format(k, "x") if k < 16 else "g")) \
                 .otherwise(rate)
     return df.filter(F.substring(md5_key(F.col(id_col)), 1, 1) < rate)
+
+
+def budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budgets: dict,
+    weight_col: str,
+    id_col: str = "doc_id",
+    default_budget: "int | None" = None,
+) -> DataFrame:
+    """TOKEN-BUDGET data mixing: per ``group_col`` value, walk the rows in
+    (md5(id), id) lottery order and keep each row while the INCLUSIVE
+    cumulative ``weight_col`` stays ≤ the group's budget — the "take k
+    billion tokens of lang X, m billion of lang Y" mixture-assembly step
+    (``mixture_sample`` fixes RATES; this fixes absolute budgets).
+    Groups absent from ``budgets`` take ``default_budget`` (None = keep
+    everything).  Weights must be non-negative (token/char counts); a
+    NULL weight counts as 0 (errors-as-data — the row is free), pinned
+    explicitly so the bucketed plan and the naive cumulative definition
+    can never disagree on all-null runs.  Rows keep all their columns.
+
+    Scale shape — NO per-group prefix-sum window over the corpus (a
+    10^11-row language through one window task is the `quality_tiers`
+    global-sort sin in per-group form).  Three bounded steps, exactly
+    equivalent to the naive per-group cumulative rule:
+
+    1. Bucket each row by the first two hex digits of its ticket (256
+       lottery-order ranges) and aggregate weight per (group, bucket) —
+       map-side combined; output is ≤ 256·|groups| rows.
+    2. Prefix-sum THAT relation per group (window over ≤256 rows/group)
+       and classify each bucket: all-keep (cum_before + total ≤ budget),
+       all-drop (cum_before > budget), or boundary — at most ONE
+       boundary bucket per group.
+    3. Join the classification back (grouped-bucket-sized relation; AQE
+       broadcasts while it fits) — all-keep rows pass with no further
+       work; only the boundary bucket's rows (~1/256 of one group) pay a
+       row-level prefix-sum window.
+
+    Cross-engine exact: the ticket, the bucket split, and every sum are
+    integer/string-deterministic, so the oracle can state the NAIVE
+    one-window definition and match bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0, got {b}")
+    if default_budget is not None and default_budget < 0:
+        raise ValueError(
+            f"default_budget must be >= 0, got {default_budget}")
+
+    # budget expression: chained whens over the bounded dict (the
+    # mixture_sample idiom); None -> "no limit" sentinel handled via null
+    budget = (F.lit(None).cast("long") if default_budget is None
+              else F.lit(int(default_budget)).cast("long"))
+    for g, b in sorted(budgets.items(), key=lambda kv: str(kv[0])):
+        budget = F.when(F.col(group_col) == F.lit(g),
+                        F.lit(int(b)).cast("long")).otherwise(budget)
+
+    t = (df.withColumn("_tk", md5_key(F.col(id_col)))
+           .withColumn("_bk", F.substring(F.col("_tk"), 1, 2))
+           .withColumn("_w", F.coalesce(F.col(weight_col).cast("long"),
+                                        F.lit(0)))
+           .withColumn("_budget", budget))
+
+    cells = (t.groupBy(group_col, "_bk")
+             .agg(F.sum(F.col("_w")).cast("long").alias("_total"))
+             .withColumn(
+                 "_before",
+                 F.coalesce(
+                     F.sum("_total").over(
+                         W.partitionBy(group_col).orderBy("_bk")
+                         .rowsBetween(W.unboundedPreceding, -1)),
+                     F.lit(0)).cast("long")))
+
+    j = t.join(cells, [group_col, "_bk"])
+    unlimited = F.col("_budget").isNull()
+    keep_all = unlimited | (F.col("_before") + F.col("_total")
+                            <= F.col("_budget"))
+    drop_all = (~unlimited) & (F.col("_before") > F.col("_budget"))
+
+    kept_whole = j.filter(keep_all)
+    boundary = j.filter(~keep_all & ~drop_all)
+    wrow = (W.partitionBy(group_col)
+            .orderBy(F.col("_tk").asc(), F.col(id_col).asc())
+            .rowsBetween(W.unboundedPreceding, 0))
+    kept_boundary = (boundary
+                     .withColumn("_cum", F.col("_before")
+                                 + F.sum(F.col("_w")).over(wrow))
+                     .filter(F.col("_cum") <= F.col("_budget"))
+                     .drop("_cum"))
+    return (kept_whole.unionByName(kept_boundary)
+            .select(*df.columns))
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assigns every row a
+    ``shard`` (md5-derived, uniform over ``n_shards``) and a dense
+    1-based ``pos`` within the shard (ticket order) — the reproducible
+    document-order randomization a training-shard writer needs (read
+    shards in index order, rows in pos order, and the corpus arrives in
+    a fixed pseudorandom permutation on any engine, any partitioning,
+    any rerun).
+
+    Scale shape: one shard-keyed row_number window; choose ``n_shards``
+    so a shard is a training-file's worth of rows (10^4–10^6), making
+    the per-task window bounded by construction — the shard count grows
+    with the corpus, never the shard.  ``n_shards`` ≤ 256 (two hex
+    digits of the ticket decide the shard — the cross-engine hex-decode
+    idiom shared with `operators/dsir.py`)."""
+    from pyspark.sql import Window as W
+
+    if not 0 < n_shards <= 256:
+        raise ValueError(f"n_shards must be in (0, 256], got {n_shards}")
+    hexd = "0123456789abcdef"
+    tk = md5_key(F.col(id_col))
+    d1 = F.instr(F.lit(hexd), F.substring(tk, 1, 1)) - 1
+    d2 = F.instr(F.lit(hexd), F.substring(tk, 2, 1)) - 1
+    shard = ((d1 * 16 + d2) % n_shards).cast("int")
+    w = W.partitionBy("shard").orderBy(F.col("_tk").asc(),
+                                       F.col(id_col).asc())
+    return (df.withColumn("_tk", tk)
+            .withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w))
+            .drop("_tk"))
 
 
 def with_split(
