@@ -1758,6 +1758,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_order"] = q_training_order
 
+    def q_host_blocklist(spark, sf_dir):
+        """Host-level curation (RefinedWeb/C4 site blocklist): per-doc
+        hashed linear quality scores rolled up to a synthetic host
+        (doc_id % 17); a host is blocked when its MEAN score < -5,
+        decided by integer cross-multiplication (no float mean).  One
+        map-side-combined host agg (operators/quality_model.py)."""
+        from ocr_system_spark.operators.quality_model import (
+            hashed_linear_score, host_quality_blocklist)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        scored = hashed_linear_score(d)
+        hosted = scored.select(
+            F.concat(F.lit("h"), (F.col("id") % 17).cast("string"))
+            .alias("host"), "score")
+        return host_quality_blocklist(hosted, threshold_num=-5,
+                                      threshold_den=1)
+
+    q["host_blocklist"] = q_host_blocklist
+
     return _reorder_for_driver_window(q)
 
 
@@ -1770,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "host_blocklist",
     "token_budget_mixture",
     "training_order",
     "host_pagerank",
@@ -4093,6 +4112,24 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM b WHERE budget IS NULL OR cum <= budget
+    """
+
+    o["host_blocklist"] = f"""
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+')) AS term
+            FROM documents),
+        wt AS (SELECT id, CAST({_wexpr} AS BIGINT) AS w FROM tok),
+        ds AS (SELECT id, CAST(sum(w) AS BIGINT) AS score
+               FROM wt GROUP BY id),
+        h AS (SELECT 'h' || CAST(id % 17 AS VARCHAR) AS host, score FROM ds)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(score) AS BIGINT) AS score_sum,
+               sum(score) * 1 < -5 * count(*) AS blocked
+        FROM h GROUP BY host
     """
 
     o["training_order"] = """

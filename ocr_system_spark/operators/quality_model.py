@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from ocr_system_spark.functions.tokens import exploded_terms as _tokens
 
 __all__ = ["linear_score", "hashed_linear_score", "stub_weight_expr",
-           "quality_tiers", "quality_tiers_bucketed"]
+           "host_quality_blocklist", "quality_tiers",
+           "quality_tiers_bucketed"]
 
 _HEX = "0123456789abcdef"
 
@@ -66,6 +67,32 @@ def hashed_linear_score(df: DataFrame, id_col: str = "doc_id",
              F.sum("w").cast("long").alias("score"))
         .withColumn("keep", F.col("score") >= F.lit(threshold))
     )
+
+
+def host_quality_blocklist(scored: DataFrame, host_col: str = "host",
+                           score_col: str = "score",
+                           threshold_num: int = 0,
+                           threshold_den: int = 1) -> DataFrame:
+    """HOST-level curation (the RefinedWeb/C4 site-blocklist move): roll
+    per-document quality scores up to their host and flag hosts whose
+    MEAN score falls below ``threshold_num / threshold_den`` —
+    (host, n_docs, score_sum, blocked).  The comparison is the integer
+    cross-multiplication ``score_sum · den < num · n_docs`` (no float
+    mean, exact on any engine); consumers anti-join their corpus against
+    the blocked hosts.
+
+    Scale shape: one host-keyed, map-side-combined aggregation — the
+    output is host-cardinality, the natural size of a site blocklist;
+    no window, no join, no driver collect."""
+    if threshold_den <= 0:
+        raise ValueError(
+            f"threshold_den must be positive, got {threshold_den}")
+    return (scored.groupBy(host_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(score_col).cast("long").alias("score_sum"))
+            .withColumn("blocked",
+                        F.col("score_sum") * F.lit(int(threshold_den))
+                        < F.lit(int(threshold_num)) * F.col("n_docs")))
 
 
 def quality_tiers(scored: DataFrame, score_col: str = "score",

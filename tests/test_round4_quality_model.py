@@ -5,8 +5,11 @@ import hashlib
 
 from pyspark.sql import Row
 
+import pytest
+
 from ocr_system_spark.operators.quality_model import (
     hashed_linear_score,
+    host_quality_blocklist,
     linear_score,
 )
 
@@ -213,3 +216,34 @@ class TestLinearScore:
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestHostQualityBlocklist:
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, score long")
+
+    def test_mean_threshold_cross_multiplied(self, spark):
+        # mean(a) = -6 < -5 -> blocked; mean(b) = -5 exactly -> NOT
+        # blocked (strict <); mean(c) = 3 -> clean
+        rows = [("a", -4), ("a", -8), ("b", -5), ("b", -5), ("c", 3)]
+        got = {r["host"]: (r["n_docs"], r["score_sum"], r["blocked"])
+               for r in host_quality_blocklist(
+                   self._scored(spark, rows), threshold_num=-5,
+                   threshold_den=1).collect()}
+        assert got == {"a": (2, -12, True), "b": (2, -10, False),
+                       "c": (1, 3, False)}
+
+    def test_fractional_threshold(self, spark):
+        # threshold -7/2 = -3.5: mean -4 blocked, mean -3 clean — no
+        # float ever computed
+        rows = [("x", -4), ("y", -3)]
+        got = {r["host"]: r["blocked"]
+               for r in host_quality_blocklist(
+                   self._scored(spark, rows), threshold_num=-7,
+                   threshold_den=2).collect()}
+        assert got == {"x": True, "y": False}
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            host_quality_blocklist(self._scored(spark, [("a", 1)]),
+                                   threshold_den=0)
