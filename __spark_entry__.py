@@ -1776,6 +1776,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_blocklist"] = q_host_blocklist
 
+    def q_html_title_meta(spark, sf_dir):
+        """Trafilatura-class METADATA extraction riding along with the
+        main-content pass: page title (first <title>, ASCII-whitespace
+        collapsed) + h1 count over deterministically constructed pages.
+        Regex-as-spec kernel (functions/html_extract.py::
+        extract_title_batch) — the oracle replays page construction and
+        both patterns verbatim in SQL."""
+        ensure_package_on_executors(spark)
+        html_expr = F.concat(
+            F.lit("<html><head><title>  Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n("), F.col("lang"),
+            F.lit(")  </title></head><body><h1>A</h1>"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit('<h1 class="x">B</h1>')).otherwise(F.lit("")),
+            F.lit("<p>"), F.col("text"), F.lit("</p></body></html>"))
+        src = (tables.load(spark, sf_dir, "documents")
+               .select("doc_id", html_expr.alias("html")))
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("n_h1", T.IntegerType(), True)])
+
+        def run(batches):
+            from ocr_system_spark.functions.html_extract import (
+                extract_title_batch)
+            for pdf in batches:
+                meta = extract_title_batch(pdf["html"].tolist())
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"].values,
+                    "title": [t for t, _ in meta],
+                    "n_h1": pd.array([n for _, n in meta],
+                                     dtype="int32")})
+
+        return src.mapInPandas(run, schema=schema)
+
+    q["html_title_meta"] = q_html_title_meta
+
     return _reorder_for_driver_window(q)
 
 
@@ -1788,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "html_title_meta",
     "host_blocklist",
     "token_budget_mixture",
     "training_order",
@@ -4112,6 +4151,26 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM b WHERE budget IS NULL OR cum <= budget
+    """
+
+    o["html_title_meta"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   '<html><head><title>  Doc ' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || '(' || lang
+                   || ')  </title></head><body><h1>A</h1>'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<h1 class="x">B</h1>' ELSE '' END
+                   || '<p>' || text || '</p></body></html>' AS html
+            FROM documents)
+        SELECT doc_id,
+               trim(regexp_replace(
+                   coalesce(regexp_extract(
+                       html, '(?is)<title[^>]*>(.*?)</title>', 1), ''),
+                   '[\t\n\f\r ]+', ' ', 'g')) AS title,
+               CAST(len(regexp_extract_all(
+                   html, '(?i)<h1[\t\n\f\r >]')) AS INTEGER) AS n_h1
+        FROM h
     """
 
     o["host_blocklist"] = f"""

@@ -316,3 +316,41 @@ def extract_main_batch(html_texts: List[Optional[str]]):
                 spans.extend((d.txt_start[j], d.txt_end[j]) for j in idxs)
         out.append(("\n".join(lines), spans))
     return out
+
+
+# --------------------------------------------------------------------------
+# metadata kernel (title / heading count)
+# --------------------------------------------------------------------------
+
+# Regex-as-spec (the functions/fields.py contract): these patterns ARE the
+# documented semantics, chosen from the RE2-safe subset so an independent
+# SQL engine replays them verbatim (non-greedy first <title>, tag-shaped
+# <h1 occurrences, ASCII-whitespace collapse — the pinned [\t\n\f\r ]
+# class shared with functions/tokens.py).
+_TITLE_RE = re.compile(r"(?is)<title[^>]*>(.*?)</title>")
+_H1_RE = re.compile(r"(?i)<h1[\t\n\f\r >]")
+_ASCII_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def extract_title_batch(
+    html_texts: List[Optional[str]],
+) -> List[Tuple[str, int]]:
+    """Batch metadata kernel: decoded html strings → (title, h1_count)
+    per document — the trafilatura-class metadata pass that rides along
+    with main-content extraction (page title for provenance/display,
+    heading count as a structure feature for quality models).
+
+    title = first ``<title …>…</title>`` payload, ASCII-whitespace
+    collapsed and stripped; missing/None html → ``""`` (the F9
+    empty-not-None convention).  h1_count = number of ``<h1`` tag opens.
+    Pure per-string regex — no node arrays needed; stays a cheap
+    sidecar to :func:`extract_main_batch`."""
+    out: List[Tuple[str, int]] = []
+    for src in html_texts:
+        if not src:
+            out.append(("", 0))
+            continue
+        m = _TITLE_RE.search(src)
+        title = _ASCII_WS_RE.sub(" ", m.group(1)).strip() if m else ""
+        out.append((title, len(_H1_RE.findall(src))))
+    return out

@@ -86,3 +86,37 @@ def test_batch_vs_single_doc_identical(pages_fixture):
     batch = extract_main_batch(texts)
     singles = [extract_main_batch([t])[0] for t in texts]
     assert batch == singles
+
+
+# ---------------------------------------------------------------------------
+# metadata kernel (title / h1 count)
+# ---------------------------------------------------------------------------
+
+def test_title_kernel_semantics():
+    from ocr_system_spark.functions.html_extract import extract_title_batch
+
+    cases = [
+        # first <title> wins; attrs allowed; case-insensitive; multiline
+        ('<HTML><head><TITLE class="x">  A \n\t B </TITLE>'
+         '<title>second</title></head><body><h1>x</h1><H1 id=2>y</h1>',
+         ("A B", 2)),
+        (None, ("", 0)),
+        ("", ("", 0)),
+        ("<p>no title</p>", ("", 0)),
+        # unterminated title -> no match; <h1x> is NOT an h1 open
+        ("<title>open forever <h1>z</h1> <h1x>no</h1x>", ("", 1)),
+        # h1 at end-of-string without delimiter does not count (tag-shaped
+        # means '<h1' followed by space/>/newline)
+        ("<title>t</title><h1", ("t", 0)),
+        ("<title></title><h1\n>a</h1>", ("", 1)),
+    ]
+    got = extract_title_batch([c for c, _ in cases])
+    assert got == [e for _, e in cases]
+
+
+def test_title_kernel_batch_isolation():
+    from ocr_system_spark.functions.html_extract import extract_title_batch
+
+    texts = ["<title>a</title>", None, "<h1>only</h1>", "<title> b\nc </title>"]
+    assert extract_title_batch(texts) == [
+        extract_title_batch([t])[0] for t in texts]
