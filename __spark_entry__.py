@@ -1814,6 +1814,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["html_title_meta"] = q_html_title_meta
 
+    def q_anchor_hosts(spark, sf_dir):
+        """Anchor-text aggregation per target host (the classic search-
+        quality signal: anchor text describes the TARGET): anchors
+        extracted from deterministically constructed pages by pure JVM
+        regexp expressions (operators/linkgraph.py::anchor_pairs —
+        relative hrefs drop out), then per-host totals + the most
+        frequent anchor text (ties to smallest, deterministic).  The
+        oracle replays construction, both regex passes, and the
+        frequency window verbatim."""
+        from ocr_system_spark.operators.linkgraph import (
+            anchor_host_stats, anchor_pairs)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id")
+        html = F.concat(
+            F.lit('<p>See <a href="https://h'),
+            ((F.col("doc_id") * 3 + 1) % 11).cast("string"),
+            F.lit('.example/p/'), F.col("doc_id").cast("string"),
+            F.lit('" class="l">  link <b>to</b>\nsite '),
+            ((F.col("doc_id") * 3 + 1) % 11).cast("string"),
+            F.lit(' </a> and <a href="http://h'),
+            ((F.col("doc_id") * 5 + 2) % 11).cast("string"),
+            F.lit('.example/q">Ref '),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit('</a>'),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit('<a href="/rel/skip">rel</a>'))
+            .otherwise(F.lit("")),
+            F.lit('</p>'))
+        pages = d.select("doc_id", html.alias("html"))
+        return anchor_host_stats(anchor_pairs(pages))
+
+    q["anchor_hosts"] = q_anchor_hosts
+
     return _reorder_for_driver_window(q)
 
 
@@ -1826,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "anchor_hosts",
     "html_title_meta",
     "host_blocklist",
     "token_budget_mixture",
@@ -4151,6 +4184,54 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM b WHERE budget IS NULL OR cum <= budget
+    """
+
+    _anchor_pat = '(?is)<a[\t\n\f\r ][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+    o["anchor_hosts"] = f"""
+        WITH p AS (
+            SELECT doc_id,
+                   '<p>See <a href="https://h'
+                   || CAST((doc_id * 3 + 1) % 11 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id AS VARCHAR)
+                   || '" class="l">  link <b>to</b>' || chr(10) || 'site '
+                   || CAST((doc_id * 3 + 1) % 11 AS VARCHAR)
+                   || ' </a> and <a href="http://h'
+                   || CAST((doc_id * 5 + 2) % 11 AS VARCHAR)
+                   || '.example/q">Ref ' || CAST(doc_id % 4 AS VARCHAR)
+                   || '</a>'
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN '<a href="/rel/skip">rel</a>' ELSE '' END
+                   || '</p>' AS html
+            FROM documents),
+        arrs AS (SELECT doc_id,
+                        regexp_extract_all(html, '{_anchor_pat}', 1) AS hr,
+                        regexp_extract_all(html, '{_anchor_pat}', 2) AS tx
+                 FROM p),
+        pairs0 AS (SELECT doc_id, hr[CAST(i AS INTEGER)] AS href,
+                          tx[CAST(i AS INTEGER)] AS rawtext
+                   FROM (SELECT doc_id, hr, tx,
+                                unnest(range(1, len(hr) + 1)) AS i
+                         FROM arrs)),
+        pairs AS (SELECT doc_id AS id,
+                         regexp_extract(href, '^https?://([^/]+)', 1)
+                             AS host,
+                         trim(regexp_replace(
+                             regexp_replace(rawtext, '<[^>]*>', '', 'g'),
+                             '[\t\n\f\r ]+', ' ', 'g')) AS text
+                  FROM pairs0
+                  WHERE regexp_extract(href, '^https?://([^/]+)', 1)
+                        <> ''),
+        t AS (SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+                     CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+              FROM pairs GROUP BY 1),
+        f AS (SELECT host, text, count(*) AS c FROM pairs GROUP BY 1, 2),
+        tp AS (SELECT host, text AS top_text,
+                      CAST(c AS BIGINT) AS top_text_count,
+                      row_number() OVER (PARTITION BY host
+                                         ORDER BY c DESC, text ASC) AS rn
+               FROM f)
+        SELECT t.host, n_links, n_docs, top_text, top_text_count
+        FROM t JOIN tp USING (host) WHERE rn = 1
     """
 
     o["html_title_meta"] = """

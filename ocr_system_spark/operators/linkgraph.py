@@ -48,11 +48,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["host_edges", "pagerank"]
+__all__ = ["host_edges", "pagerank", "anchor_pairs", "anchor_host_stats"]
+
+# Regex-as-spec (the functions/fields.py contract; RE2-safe subset so the
+# oracle replays them verbatim): double-quoted hrefs, non-greedy anchor
+# bodies, scheme-qualified host capture, tag-strip + pinned-ASCII
+# whitespace collapse for the anchor text.
+ANCHOR_PATTERN = '(?is)<a[\t\n\f\r ][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+HOST_PATTERN = "^https?://([^/]+)"
 
 RANK_SCALE = 10**12
 DAMP_NUM = 17
 DAMP_DEN = 20
+
+
+def anchor_pairs(pages: DataFrame, id_col: str = "doc_id",
+                 html_col: str = "html") -> DataFrame:
+    """(id, host, text) — one row per absolute-href anchor in each page:
+    target host from :data:`HOST_PATTERN` (relative/script hrefs drop
+    out), anchor text tag-stripped and ASCII-whitespace-collapsed.
+    Pure JVM expressions (regexp_extract_all + posexplode — no UDF, no
+    shuffle); feeds :func:`anchor_host_stats` and, via the host column,
+    :func:`host_edges`."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 1)
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 2)
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("_rawtext"), "<[^>]*>", ""),
+        "[\t\n\f\r ]+", " "))
+    return (pages
+            .select(F.col(id_col).alias("id"), hrefs.alias("_hr"),
+                    texts.alias("_tx"))
+            .select("id", "_tx",
+                    F.posexplode("_hr").alias("_i", "_href"))
+            .select("id",
+                    F.regexp_extract(F.col("_href"), HOST_PATTERN, 1)
+                    .alias("host"),
+                    F.col("_tx")[F.col("_i")].alias("_rawtext"))
+            .filter(F.col("host") != "")
+            .select("id", "host", clean.alias("text")))
+
+
+def anchor_host_stats(pairs: DataFrame) -> DataFrame:
+    """Per-target-host anchor aggregation — the classic search-quality
+    signal (anchor text describes the TARGET page better than the target
+    describes itself; host-level it summarizes what the web calls a
+    site): (host, n_links, n_docs, top_text, top_text_count) with
+    ``top_text`` the host's most frequent anchor text (ties break to the
+    lexicographically smallest — deterministic on any engine).
+
+    Scale shape: two host-keyed map-side-combined aggregations and one
+    host-keyed row_number window over the (host, text) frequency
+    relation (map-side WindowGroupLimit prunes to 1 row per partition
+    per host); the join back to the totals is host-keyed on
+    host-cardinality relations."""
+    from pyspark.sql import Window as W
+
+    totals = pairs.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("id").cast("long").alias("n_docs"))
+    freq = pairs.groupBy("host", "text").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = W.partitionBy("host").orderBy(F.col("c").desc(),
+                                      F.col("text").asc())
+    top = (freq.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select("host", F.col("text").alias("top_text"),
+                   F.col("c").alias("top_text_count")))
+    return totals.join(top, "host")
 
 
 def host_edges(links: DataFrame, src_col: str = "src",

@@ -10,6 +10,8 @@ from ocr_system_spark.operators.linkgraph import (
     DAMP_DEN,
     DAMP_NUM,
     RANK_SCALE,
+    anchor_host_stats,
+    anchor_pairs,
     host_edges,
     pagerank,
 )
@@ -91,6 +93,39 @@ class TestPagerank:
             pagerank(df, n_iter=0)
         with pytest.raises(ValueError):
             pagerank(df, scale=0)
+
+
+class TestAnchorPairs:
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, html string")
+
+    def test_extracts_hosts_and_clean_text(self, spark):
+        html = ('x <a href="https://A.example/p" rel="no">  link '
+                '<b>to</b>\nhere </a> y '
+                '<a href="/relative">skip</a> '
+                '<A HREF="http://b.example">B</A> '
+                '<a class="q" href="https://c.example/z"></a> plain')
+        rows = anchor_pairs(self._pages(spark, [(7, html)])).collect()
+        got = sorted((r["id"], r["host"], r["text"]) for r in rows)
+        assert got == [(7, "A.example", "link to here"),
+                       (7, "b.example", "B"),
+                       (7, "c.example", "")]
+
+    def test_no_anchors_and_null(self, spark):
+        rows = anchor_pairs(self._pages(
+            spark, [(0, "<p>none</p>"), (1, None)])).collect()
+        assert rows == []
+
+    def test_host_stats_top_text_tiebreak(self, spark):
+        pairs = spark.createDataFrame(
+            [(0, "h", "b"), (1, "h", "a"), (1, "h", "b"), (2, "h", "a"),
+             (3, "g", "z")],
+            "id long, host string, text string")
+        got = {r["host"]: (r["n_links"], r["n_docs"], r["top_text"],
+                           r["top_text_count"])
+               for r in anchor_host_stats(pairs).collect()}
+        # 'a' and 'b' tie at 2 -> lexicographically smallest wins
+        assert got == {"h": (4, 3, "a", 2), "g": (1, 1, "z", 1)}
 
 
 def _docs(spark, rows):
