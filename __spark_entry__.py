@@ -1846,6 +1846,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_hosts"] = q_anchor_hosts
 
+    def q_page_link_pagerank(spark, sf_dir):
+        """The link-graph tier END-TO-END: pages → anchor extraction
+        (pure-JVM regexp) → weighted host graph → 5 rounds of
+        integer-exact PageRank.  Each page's own host is h(doc_id %
+        11).example, so the graph is the REAL extracted one — the oracle
+        composes the anchor-extraction CTEs with the unrolled PageRank
+        iteration chain (both shared with their standalone queries)."""
+        from ocr_system_spark.operators.linkgraph import (
+            anchor_pairs, host_edges, pagerank)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id")
+        html = F.concat(
+            F.lit('<p>See <a href="https://h'),
+            ((F.col("doc_id") * 3 + 1) % 11).cast("string"),
+            F.lit('.example/p/'), F.col("doc_id").cast("string"),
+            F.lit('" class="l">  link <b>to</b>\nsite '),
+            ((F.col("doc_id") * 3 + 1) % 11).cast("string"),
+            F.lit(' </a> and <a href="http://h'),
+            ((F.col("doc_id") * 5 + 2) % 11).cast("string"),
+            F.lit('.example/q">Ref '),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit('</a>'),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit('<a href="/rel/skip">rel</a>'))
+            .otherwise(F.lit("")),
+            F.lit('</p>'))
+        pairs = anchor_pairs(d.select("doc_id", html.alias("html")))
+        links = pairs.select(
+            F.concat(F.lit("h"), (F.col("id") % 11).cast("string"),
+                     F.lit(".example")).alias("src"),
+            F.col("host").alias("dst"))
+        return (pagerank(host_edges(links), n_iter=5)
+                .select(F.col("node").alias("host"), "rank_micro"))
+
+    q["page_link_pagerank"] = q_page_link_pagerank
+
     return _reorder_for_driver_window(q)
 
 
@@ -1858,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "page_link_pagerank",
     "anchor_hosts",
     "html_title_meta",
     "host_blocklist",
@@ -4078,18 +4114,11 @@ def oracle_sql() -> dict[str, str]:
 
     # host PageRank: all 5 integer-exact iterations unrolled as CTEs (the
     # bpe_train precedent) — base = ((scale//N)*3)//20, damping 17/20,
-    # per-edge contribution (r*w)//outw, dangling mass dropped
-    _pr_parts = ["""
-        links AS (
-            SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
-                   'h' || CAST(dn AS VARCHAR) AS dst
-            FROM (SELECT doc_id,
-                         unnest([(doc_id * 7 + 1) % 23,
-                                 (doc_id * 11 + 3) % 23,
-                                 (doc_id * 13 + 5) % 23]) AS dn
-                  FROM documents)),
-        e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
-              FROM links WHERE src <> dst GROUP BY 1, 2),
+    # per-edge contribution (r*w)//outw, dangling mass dropped.  The
+    # iteration chain (everything after the `e` edge CTE) is shared with
+    # the page_link_pagerank composition oracle.
+    def _pr_iter_ctes(n_iter: int) -> str:
+        parts = ["""
         nodes AS (SELECT DISTINCT node
                   FROM (SELECT src AS node FROM e
                         UNION ALL SELECT dst FROM e)),
@@ -4099,17 +4128,30 @@ def oracle_sql() -> dict[str, str]:
                       CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)
                       AS r
                FROM nodes)"""]
-    for _k in range(5):
-        _pr_parts.append(f"""
-        c{_k} AS (SELECT dst, sum((r * w) // outw) AS inc
-                  FROM e JOIN r{_k} ON e.src = r{_k}.node
+        for k in range(n_iter):
+            parts.append(f"""
+        c{k} AS (SELECT dst, sum((r * w) // outw) AS inc
+                  FROM e JOIN r{k} ON e.src = r{k}.node
                          JOIN ow ON e.src = ow.src
                   GROUP BY dst),
-        r{_k + 1} AS (SELECT nodes.node,
+        r{k + 1} AS (SELECT nodes.node,
                       CAST(((1000000000000 // (SELECT n FROM nn)) * 3) // 20
                            + (17 * coalesce(inc, 0)) // 20 AS BIGINT) AS r
-               FROM nodes LEFT JOIN c{_k} ON nodes.node = c{_k}.dst)""")
-    o["host_pagerank"] = ("WITH " + ",".join(_pr_parts) + """
+               FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.dst)""")
+        return ",".join(parts)
+
+    o["host_pagerank"] = ("""
+        WITH links AS (
+            SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                   'h' || CAST(dn AS VARCHAR) AS dst
+            FROM (SELECT doc_id,
+                         unnest([(doc_id * 7 + 1) % 23,
+                                 (doc_id * 11 + 3) % 23,
+                                 (doc_id * 13 + 5) % 23]) AS dn
+                  FROM documents)),
+        e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+              FROM links WHERE src <> dst GROUP BY 1, 2),"""
+        + _pr_iter_ctes(5) + """
         SELECT node AS host, r AS rank_micro FROM r5
     """)
 
@@ -4187,8 +4229,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _anchor_pat = '(?is)<a[\t\n\f\r ][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
-    o["anchor_hosts"] = f"""
-        WITH p AS (
+    # page construction + anchor extraction CTEs, shared by anchor_hosts
+    # and the page_link_pagerank composition
+    _anchor_ctes = f"""p AS (
             SELECT doc_id,
                    '<p>See <a href="https://h'
                    || CAST((doc_id * 3 + 1) % 11 AS VARCHAR)
@@ -4220,7 +4263,10 @@ def oracle_sql() -> dict[str, str]:
                              '[\t\n\f\r ]+', ' ', 'g')) AS text
                   FROM pairs0
                   WHERE regexp_extract(href, '^https?://([^/]+)', 1)
-                        <> ''),
+                        <> '')"""
+
+    o["anchor_hosts"] = f"""
+        WITH {_anchor_ctes},
         t AS (SELECT host, CAST(count(*) AS BIGINT) AS n_links,
                      CAST(count(DISTINCT id) AS BIGINT) AS n_docs
               FROM pairs GROUP BY 1),
@@ -4233,6 +4279,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.host, n_links, n_docs, top_text, top_text_count
         FROM t JOIN tp USING (host) WHERE rn = 1
     """
+
+    o["page_link_pagerank"] = (f"""
+        WITH {_anchor_ctes},
+        links AS (SELECT 'h' || CAST(id % 11 AS VARCHAR) || '.example'
+                             AS src,
+                         host AS dst
+                  FROM pairs),
+        e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+              FROM links WHERE src <> dst GROUP BY 1, 2),"""
+        + _pr_iter_ctes(5) + """
+        SELECT node AS host, r AS rank_micro FROM r5
+    """)
 
     o["html_title_meta"] = """
         WITH h AS (
