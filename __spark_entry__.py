@@ -1881,6 +1881,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["page_link_pagerank"] = q_page_link_pagerank
 
+    def q_lm_backoff(spark, sf_dir):
+        """Stupid Backoff trigram scoring (Brants et al. 2007 — the
+        count-ratio backoff designed for MapReduce-scale LMs): the
+        md5-lottery train split is the model, the holdout split is
+        scored; per trigram type c123/c12 → 0.4·c23/c2 → 0.4²·add-one
+        unigram floor, each log term quantized to integer micros before
+        the tf-weighted sum (operators/lm.py).  The oracle replays
+        split + all three model relations + the CASE chain verbatim."""
+        from ocr_system_spark.operators.lm import stupid_backoff_score
+        from ocr_system_spark.operators.sampling import with_split
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        s = with_split(d, holdout_sixteenths=2)
+        return stupid_backoff_score(
+            s.filter(F.col("split") == "holdout"),
+            s.filter(F.col("split") == "train"))
+
+    q["lm_backoff"] = q_lm_backoff
+
     return _reorder_for_driver_window(q)
 
 
@@ -1893,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "lm_backoff",
     "page_link_pagerank",
     "anchor_hosts",
     "html_title_meta",
@@ -4226,6 +4245,73 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM b WHERE budget IS NULL OR cum <= budget
+    """
+
+    o["lm_backoff"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+') AS toks,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM documents),
+        trtg AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+                   count(*) AS c123
+            FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                  FROM base WHERE split = 'train')
+            GROUP BY 1, 2, 3),
+        trbg AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c2
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                  FROM base WHERE split = 'train')
+            GROUP BY 1, 2),
+        truni AS (
+            SELECT t AS term, count(*) AS c
+            FROM (SELECT unnest(toks) AS t FROM base WHERE split = 'train')
+            GROUP BY 1),
+        tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM truni),
+        hotg AS (
+            SELECT id, toks[i] AS w1, toks[i + 1] AS w2,
+                   toks[i + 2] AS w3, count(*) AS tf
+            FROM (SELECT id, toks, unnest(range(1, len(toks) - 1)) AS i
+                  FROM base WHERE split = 'holdout')
+            GROUP BY 1, 2, 3, 4),
+        j AS (
+            SELECT id, tf,
+                   coalesce(c123, 0) AS c123,
+                   coalesce(b12.c2, 0) AS c12,
+                   coalesce(b23.c2, 0) AS c23,
+                   coalesce(u2.c, 0) AS cw2,
+                   coalesce(u3.c, 0) AS cw3
+            FROM hotg
+            LEFT JOIN trtg USING (w1, w2, w3)
+            LEFT JOIN trbg b12 ON hotg.w1 = b12.w1 AND hotg.w2 = b12.w2
+            LEFT JOIN trbg b23 ON hotg.w2 = b23.w1 AND hotg.w3 = b23.w2
+            LEFT JOIN truni u2 ON hotg.w2 = u2.term
+            LEFT JOIN truni u3 ON hotg.w3 = u3.term),
+        terms AS (
+            SELECT id, tf, c123, c23,
+                   CAST(round((CASE
+                       WHEN c123 > 0 THEN ln(c123) - ln(c12)
+                       WHEN c23 > 0 THEN ln(0.4) + ln(c23) - ln(cw2)
+                       ELSE ln(0.4) + ln(0.4) + ln(cw3 + 1)
+                            - ln(CAST((SELECT n FROM tot)
+                                      + (SELECT v FROM tot) AS DOUBLE))
+                   END) * 1000000) AS BIGINT) AS lp
+            FROM j)
+        SELECT id,
+               CAST(sum(tf) AS BIGINT) AS n_trigrams,
+               CAST(sum(CASE WHEN c123 > 0 THEN tf ELSE 0 END) AS BIGINT)
+                   AS hit3,
+               CAST(sum(CASE WHEN c123 = 0 AND c23 > 0 THEN tf ELSE 0 END)
+                    AS BIGINT) AS hit2,
+               CAST(sum(tf * lp) AS BIGINT) AS logscore_micro
+        FROM terms GROUP BY id
     """
 
     _anchor_pat = '(?is)<a[\t\n\f\r ][^>]*href="([^"]*)"[^>]*>(.*?)</a>'

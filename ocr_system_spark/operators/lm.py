@@ -45,9 +45,15 @@ from pyspark.sql import functions as F
 
 from ocr_system_spark.functions.tokens import exploded_terms, lower_ascii_tokens
 
-__all__ = ["bigrams", "bigram_counts", "bigram_lm_score"]
+__all__ = ["bigrams", "bigram_counts", "bigram_lm_score",
+           "trigrams", "stupid_backoff_score"]
 
 LOG_MICROS = 1_000_000
+
+# Stupid Backoff discount (Brants et al. 2007 use 0.4 throughout); kept
+# as an exact decimal literal so Spark and the SQL oracle parse the
+# identical double.
+BACKOFF = 0.4
 
 
 def bigrams(df: DataFrame, id_col: str = "doc_id",
@@ -126,3 +132,105 @@ def bigram_lm_score(score_df: DataFrame, train_df: DataFrame,
                    .alias("known_bigrams"),
                   F.sum(F.col("tf") * F.col("lp")).cast("long")
                    .alias("logprob_micro")))
+
+
+def trigrams(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(id, w1, w2, w3) — the exploded adjacent-trigram stream over the
+    pinned token alphabet (documents with fewer than three tokens drop
+    out).  Same zero-self-join construction as :func:`bigrams`."""
+    t = (df.select(F.col(id_col).alias("id"),
+                   lower_ascii_tokens(F.col(text_col)).alias("toks"))
+           .filter(F.size("toks") >= 3))
+    return (t.select("id", F.explode(F.expr(
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> struct(toks[i-1] AS w1, toks[i] AS w2, toks[i+1] AS w3))"))
+        .alias("tg"))
+            .select("id", "tg.w1", "tg.w2", "tg.w3"))
+
+
+def stupid_backoff_score(score_df: DataFrame, train_df: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the backoff designed FOR
+    MapReduce-scale corpora: no discount mass bookkeeping, just count
+    ratios with a fixed 0.4 backoff factor): per scored document
+    (id, n_trigrams, hit3, hit2, logscore_micro) where per trigram type
+
+        S = c123/c12                       (trigram hit)
+          = 0.4 · c23/c2                   (bigram backoff)
+          = 0.4² · (c3+1)/(N+V)            (add-one unigram floor)
+
+    and ``logscore_micro`` = Σ tf · round(1e6 · ln S) with each type's
+    log term quantized BEFORE the tf-weighted sum (the module's
+    integer-micros idiom — order-independent, engine-replayable).
+    hit3/hit2 count trigram tokens resolved at the trigram/bigram
+    levels (the coverage diagnostics the paper tracks).
+
+    Scale shape: identical to :func:`bigram_lm_score` one order up —
+    the scored corpus collapses to per-doc TRIGRAM TYPES (map-side
+    combine) before any join; all five model relations (trigram counts,
+    two bigram roles, unigram counts, totals) are vocabulary-sized,
+    broadcast under AQE with the documented shuffle fallback.  N and V
+    are one bounded 1-row driver collect (the ``v`` contract above)."""
+    from pyspark import StorageLevel
+
+    tri = (trigrams(train_df, id_col, text_col)
+           .groupBy("w1", "w2", "w3")
+           .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    big = (bigram_counts(train_df, id_col, text_col)
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    uni = (exploded_terms(train_df, id_col, text_col)
+           .groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("c"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    totals = uni.groupBy().agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v")).first()
+    n_tok, v = int(totals["n"] or 0), int(totals["v"] or 0)
+
+    tf = (trigrams(score_df, id_col, text_col)
+          .groupBy("id", "w1", "w2", "w3")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+
+    j = (tf
+         .join(tri, ["w1", "w2", "w3"], "left")
+         .join(big.select(F.col("w1"), F.col("w2"),
+                          F.col("c2").alias("c12")), ["w1", "w2"], "left")
+         .join(big.select(F.col("w1").alias("w2"),
+                          F.col("w2").alias("w3"),
+                          F.col("c2").alias("c23")), ["w2", "w3"], "left")
+         .join(uni.select(F.col("term").alias("w2"),
+                          F.col("c").alias("cw2")), ["w2"], "left")
+         .join(uni.select(F.col("term").alias("w3"),
+                          F.col("c").alias("cw3")), ["w3"], "left")
+         .select("id", "tf",
+                 F.coalesce(F.col("c123"), F.lit(0)).alias("c123"),
+                 F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
+                 F.coalesce(F.col("c23"), F.lit(0)).alias("c23"),
+                 F.coalesce(F.col("cw2"), F.lit(0)).alias("cw2"),
+                 F.coalesce(F.col("cw3"), F.lit(0)).alias("cw3")))
+
+    # pinned operation order — the oracle SQL mirrors this term-for-term
+    log_term = (
+        F.when(F.col("c123") > 0,
+               F.log(F.col("c123")) - F.log(F.col("c12")))
+        .when(F.col("c23") > 0,
+              F.log(F.lit(BACKOFF)) + F.log(F.col("c23"))
+              - F.log(F.col("cw2")))
+        .otherwise(F.log(F.lit(BACKOFF)) + F.log(F.lit(BACKOFF))
+                   + F.log(F.col("cw3") + 1)
+                   - F.log(F.lit(float(n_tok + v)))))
+    lp = F.round(log_term * LOG_MICROS).cast("long")
+    return (j.select("id", "tf", "c123", "c23", lp.alias("lp"))
+             .groupBy("id")
+             .agg(F.sum("tf").cast("long").alias("n_trigrams"),
+                  F.sum(F.when(F.col("c123") > 0, F.col("tf"))
+                         .otherwise(F.lit(0))).cast("long").alias("hit3"),
+                  F.sum(F.when((F.col("c123") == 0)
+                               & (F.col("c23") > 0), F.col("tf"))
+                         .otherwise(F.lit(0))).cast("long").alias("hit2"),
+                  F.sum(F.col("tf") * F.col("lp")).cast("long")
+                   .alias("logscore_micro")))

@@ -115,3 +115,90 @@ class TestBigramLmScore:
         mean = {i: out[i]["logprob_micro"] / out[i]["n_bigrams"]
                 for i in (30, 31)}
         assert mean[30] > mean[31]
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff (trigram) scoring
+# ---------------------------------------------------------------------------
+
+def _round_half_away(x):
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _py_backoff(train_texts, text):
+    from ocr_system_spark.operators.lm import BACKOFF
+    c123: dict = {}
+    c2: dict = {}
+    uni: dict = {}
+    for t in train_texts:
+        tk = t.lower().split()
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(tk, tk[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+        for a, b, c in zip(tk, tk[1:], tk[2:]):
+            c123[(a, b, c)] = c123.get((a, b, c), 0) + 1
+    n_tok, v = sum(uni.values()), len(uni)
+    tk = text.lower().split()
+    n = h3 = h2 = lp = 0
+    for a, b, c in zip(tk, tk[1:], tk[2:]):
+        n += 1
+        t3, b12, b23 = c123.get((a, b, c), 0), c2.get((a, b), 0), c2.get((b, c), 0)
+        if t3 > 0:
+            h3 += 1
+            term = math.log(t3) - math.log(b12)
+        elif b23 > 0:
+            h2 += 1
+            term = math.log(BACKOFF) + math.log(b23) - math.log(uni[b])
+        else:
+            term = (math.log(BACKOFF) + math.log(BACKOFF)
+                    + math.log(uni.get(c, 0) + 1)
+                    - math.log(float(n_tok + v)))
+        lp += _round_half_away(term * LOG_MICROS)
+    return n, h3, h2, lp
+
+
+class TestStupidBackoff:
+    TRAIN = [(0, "the cat sat on the mat"),
+             (1, "the dog sat on the log"),
+             (2, "a cat and a dog sat here")]
+    # exercises all three branches: seen trigram, bigram backoff,
+    # unigram floor (incl. an OOV word)
+    SCORE = [(10, "the cat sat daily on the log"),
+             (11, "xx"),             # < 3 tokens -> drops out entirely
+             (12, "dog sat on")]
+
+    def test_matches_python_mirror(self, spark):
+        from ocr_system_spark.operators.lm import stupid_backoff_score
+        got = {r["id"]: (r["n_trigrams"], r["hit3"], r["hit2"],
+                         r["logscore_micro"])
+               for r in stupid_backoff_score(
+                   _docs(spark, self.SCORE),
+                   _docs(spark, self.TRAIN)).collect()}
+        train_texts = [t for _, t in self.TRAIN]
+        exp = {i: _py_backoff(train_texts, t)
+               for i, t in self.SCORE if len(t.split()) >= 3}
+        assert got == exp
+        assert 11 not in got
+        # sanity: the mixed doc really hits every branch
+        n, h3, h2, _ = exp[10]
+        assert h3 > 0 and h2 > 0 and h3 + h2 < n
+
+    def test_partitioning_invariance(self, spark):
+        from ocr_system_spark.operators.lm import stupid_backoff_score
+        a = sorted(map(tuple, stupid_backoff_score(
+            _docs(spark, self.SCORE), _docs(spark, self.TRAIN)).collect()))
+        b = sorted(map(tuple, stupid_backoff_score(
+            _docs(spark, self.SCORE).repartition(7),
+            _docs(spark, self.TRAIN).repartition(5)).collect()))
+        assert a == b
+
+    def test_empty_train_yields_null_scores(self, spark):
+        """No model -> documented errors-as-data: counts stay exact,
+        logscore_micro is NULL (ln of an empty model's 0 mass)."""
+        from ocr_system_spark.operators.lm import stupid_backoff_score
+        rows = stupid_backoff_score(
+            _docs(spark, [(0, "a b c d")]),
+            _docs(spark, [(9, "")])).collect()
+        assert [(r["id"], r["n_trigrams"], r["logscore_micro"])
+                for r in rows] == [(0, 2, None)]
