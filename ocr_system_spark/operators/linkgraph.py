@@ -133,7 +133,8 @@ def host_edges(links: DataFrame, src_col: str = "src",
 
 
 def pagerank(edges: DataFrame, n_iter: int = 5,
-             scale: int = RANK_SCALE) -> DataFrame:
+             scale: int = RANK_SCALE,
+             checkpoint_every: int = 8) -> DataFrame:
     """(node, rank_micro) — ``n_iter`` rounds of integer-exact weighted
     PageRank (damping 17/20) over an ``(src, dst, w)`` edge relation
     (see module docstring for the exact recurrence and the dangling-mass
@@ -141,11 +142,22 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
 
     The node count is a bounded 1-row driver collect (the `lm.py` V /
     BPE-argmax contract); a lazy scalar relation would plan as the
-    BroadcastNestedLoopJoin the fleet-wide plan gate bans."""
+    BroadcastNestedLoopJoin the fleet-wide plan gate bans.
+
+    ``checkpoint_every``: rounds between lineage-truncating eager
+    localCheckpoints.  Short runs (n_iter < cadence) compile the whole
+    iteration chain into ONE Spark job — no per-round job-submission
+    latency or intermediate materialization; long runs still truncate
+    lineage periodically so round k never replays rounds 1..k-1 more
+    than a bounded number of times.  The result is identical either way
+    (pytest-pinned)."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if scale <= 0:
         raise ValueError(f"scale must be positive, got {scale}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
 
     from pyspark import StorageLevel
 
@@ -169,7 +181,7 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     base = (init * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
     ranks = nodes.select(
         "node", F.lit(init).cast("long").alias("rank_micro"))
-    for _ in range(n_iter):
+    for it in range(1, n_iter + 1):
         contrib = (ew.join(ranks.withColumnRenamed("node", "src"), "src")
                    .select("dst",
                            F.expr("(rank_micro * w) div outw").alias("c"))
@@ -182,9 +194,11 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
                          (F.lit(base)
                           + F.expr(f"({DAMP_NUM} * coalesce(inc, 0))"
                                    f" div {DAMP_DEN}"))
-                         .cast("long").alias("rank_micro"))
-                 .localCheckpoint(eager=True))
-    ew.unpersist()
-    e.unpersist()
-    nodes.unpersist()
+                         .cast("long").alias("rank_micro")))
+        if it % checkpoint_every == 0 and it < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    # e/nodes/ew stay persisted for the returned plan (which references
+    # them once per un-checkpointed round — identical subtrees also hit
+    # ReusedExchange); Spark's reference-based ContextCleaner releases
+    # them, the lm.py model-persist contract.
     return ranks

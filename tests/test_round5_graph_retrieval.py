@@ -93,6 +93,19 @@ class TestPagerank:
             pagerank(df, n_iter=0)
         with pytest.raises(ValueError):
             pagerank(df, scale=0)
+        with pytest.raises(ValueError):
+            pagerank(df, checkpoint_every=0)
+
+    def test_checkpoint_cadence_identical(self, spark):
+        """Per-round checkpointing vs the fused single-job default must
+        produce bit-identical ranks (the cadence is a lineage/latency
+        knob, never a semantics knob)."""
+        df = _edges(spark, EDGES)
+        fused = sorted(map(tuple, pagerank(df, n_iter=6).collect()))
+        everyround = sorted(map(tuple,
+                                pagerank(df, n_iter=6, checkpoint_every=1)
+                                .collect()))
+        assert fused == everyround
 
 
 class TestAnchorPairs:
