@@ -1899,6 +1899,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_backoff"] = q_lm_backoff
 
+    def q_cluster_balanced_sample(spark, sf_dir):
+        """Cluster-balanced sampling (the DataComp/SemDeDup curation
+        move: cap documents per SEMANTIC cluster so no topic dominates):
+        trained IVF centroids assign every embedding a cell (map-only,
+        argmax cosine, ties to the lower cell), then the md5-lottery
+        per-group cap keeps ≤5 per cell.  The oracle replays training
+        end-to-end (the ivf_train_topk chain), the assignment, and the
+        lottery window (operators/similarity.py + sampling.py)."""
+        ensure_package_on_executors(spark)
+        from ocr_system_spark.operators.sampling import cap_per_group
+        from ocr_system_spark.operators.similarity import (
+            ivf_assign, train_ivf_centroids)
+        e = tables.load(spark, sf_dir, "embeddings")
+        cents = train_ivf_centroids(e, n_centroids=16, iters=2)
+        assign = ivf_assign(e, cents)
+        return cap_per_group(assign, "cell", cap=5, id_col="vec_id")
+
+    q["cluster_balanced_sample"] = q_cluster_balanced_sample
+
     return _reorder_for_driver_window(q)
 
 
@@ -1911,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "cluster_balanced_sample",
     "lm_backoff",
     "page_link_pagerank",
     "anchor_hosts",
@@ -2463,8 +2483,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, cv FROM {prev}
             WHERE cell NOT IN (SELECT cell FROM m{n}))"""
 
-    o["ivf_train_topk"] = f"""
-        WITH e AS (
+    # training + final assignment chain, shared with the
+    # cluster_balanced_sample oracle
+    _ivf_train_ctes = f"""e AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
@@ -2487,7 +2508,22 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
                                     c.cell) AS rk
                 FROM e CROSS JOIN cent2 c) t
-            WHERE rk = 1),
+            WHERE rk = 1)"""
+
+    o["cluster_balanced_sample"] = f"""
+        WITH {_ivf_train_ctes},
+        sel AS (
+            SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+                   row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                vec_id ASC) AS rn
+            FROM assign)
+        SELECT vec_id, cell FROM sel WHERE rn <= 5
+    """
+
+    o["ivf_train_topk"] = f"""
+        WITH {_ivf_train_ctes},
         probes AS (
             SELECT vec_id AS query_id, cell FROM (
                 SELECT e.vec_id, c.cell,

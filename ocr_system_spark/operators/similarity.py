@@ -396,6 +396,25 @@ def brute_force_topk_int8(
 IVF_QUANT_BITS = 20  # centroid-mean quantum: 2^-20 ≈ 1e-6 of vector scale
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: "List[List[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cell) — argmax-cosine assignment of every vector to the
+    given centroid list (ties toward the LOWER cell, the shared
+    cross-engine rule).  The cluster-membership relation behind
+    SemDeDup-style semantic dedup and cluster-balanced sampling
+    (DataComp-class curation: cap documents per semantic cluster so no
+    one topic dominates).  Map-only: the centroid matrix broadcasts
+    into the Arrow batches; no shuffle."""
+    cm = np.array(centroids, dtype=np.float64)
+    cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+    return emb.select(F.col(id_col),
+                      _assign_cell_udf(cn)(F.col(vec_col)).alias("cell"))
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,

@@ -210,3 +210,30 @@ def test_sitecustomize_chain_survives_bad_path_entries(tmp_path, monkeypatch):
                         + sys.path)
     mod._chain_next_sitecustomize()
     assert flag.exists(), "scan aborted at the bad entry instead of continuing"
+
+
+def test_ivf_assign_matches_numpy_and_is_maponly(spark):
+    """ivf_assign: argmax-cosine per vector, ties to the lower cell,
+    no shuffle in the plan (round-5 SemDeDup entry point)."""
+    import numpy as np
+
+    from ocr_system_spark.operators import similarity
+
+    rng = [[float((i * 7 + j * 3) % 5 - 2) for j in range(4)]
+           for i in range(12)]
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 1.0]]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cell"]
+           for r in similarity.ivf_assign(emb, cents).collect()}
+    m = np.array(rng, dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    c = np.array(cents, dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    exp = dict(enumerate(np.argmax(m @ c.T, axis=1).tolist()))
+    assert got == exp
+    plan = (similarity.ivf_assign(emb, cents)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
