@@ -129,6 +129,24 @@ class TestAnchorPairs:
             spark, [(0, "<p>none</p>"), (1, None)])).collect()
         assert rows == []
 
+    def test_pathological_html_is_deterministic_regex_spec(self, spark):
+        """Regex-as-spec behavior pinned on adversarial shapes: the
+        non-greedy pattern takes the FIRST </a> (nested anchors yield
+        one pair whose text is the outer prefix + inner markup up to the
+        inner close), unclosed anchors match nothing, single-quoted
+        hrefs match nothing (double-quote spec)."""
+        cases = [
+            (0, '<a href="https://x.y/">out <a href="https://z.w/">in</a>'
+                ' tail</a>'),
+            (1, '<a href="https://u.v/">never closed'),
+            (2, "<a href='https://q.r/'>single quoted</a>"),
+        ]
+        rows = anchor_pairs(self._pages(spark, cases)).collect()
+        got = sorted((r["id"], r["host"], r["text"]) for r in rows)
+        # case 0: one match, href = outer, text = "out <a ...>in" with
+        # tags stripped -> "out in"
+        assert got == [(0, "x.y", "out in")]
+
     def test_host_stats_top_text_tiebreak(self, spark):
         pairs = spark.createDataFrame(
             [(0, "h", "b"), (1, "h", "a"), (1, "h", "b"), (2, "h", "a"),
