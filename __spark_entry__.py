@@ -1918,6 +1918,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_balanced_sample"] = q_cluster_balanced_sample
 
+    def q_site_table(spark, sf_dir):
+        """The SITE CURATION TABLE — the per-host artifact a RefinedWeb-
+        class pipeline maintains: link-graph PageRank (from extracted
+        anchors), host-rolled quality (integer-exact mean threshold),
+        and anchor in-link counts, joined on one shared host space
+        (h(doc_id % 11).example).  Three host-sized relations, host-keyed
+        joins; the oracle composes the anchor, PageRank, and blocklist
+        CTE chains already proven standalone."""
+        from ocr_system_spark.operators.linkgraph import (
+            anchor_pairs, host_edges, pagerank)
+        from ocr_system_spark.operators.quality_model import (
+            hashed_linear_score, host_quality_blocklist)
+        d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        html = F.concat(
+            F.lit('<p>See <a href="https://h'),
+            ((F.col("doc_id") * 3 + 1) % 11).cast("string"),
+            F.lit('.example/p/'), F.col("doc_id").cast("string"),
+            F.lit('" class="l">  link <b>to</b>\nsite '),
+            ((F.col("doc_id") * 3 + 1) % 11).cast("string"),
+            F.lit(' </a> and <a href="http://h'),
+            ((F.col("doc_id") * 5 + 2) % 11).cast("string"),
+            F.lit('.example/q">Ref '),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit('</a>'),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit('<a href="/rel/skip">rel</a>'))
+            .otherwise(F.lit("")),
+            F.lit('</p>'))
+        pairs = anchor_pairs(d.select("doc_id", html.alias("html")))
+
+        def hostify(c):
+            return F.concat(F.lit("h"), (c % 11).cast("string"),
+                            F.lit(".example"))
+
+        links = pairs.select(hostify(F.col("id")).alias("src"),
+                             F.col("host").alias("dst"))
+        pr = (pagerank(host_edges(links), n_iter=5)
+              .select(F.col("node").alias("host"), "rank_micro"))
+        scored = hashed_linear_score(d)
+        hq = host_quality_blocklist(
+            scored.select(hostify(F.col("id")).alias("host"), "score"),
+            threshold_num=-5, threshold_den=1)
+        at = pairs.groupBy("host").agg(
+            F.count(F.lit(1)).cast("long").alias("n_inlinks"))
+        return pr.join(hq, "host").join(at, "host")
+
+    q["site_table"] = q_site_table
+
     return _reorder_for_driver_window(q)
 
 
@@ -1930,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
     # round-5 additions (never driver-recorded) — keep at the head
+    "site_table",
     "cluster_balanced_sample",
     "lm_backoff",
     "page_link_pagerank",
@@ -4412,6 +4461,39 @@ def oracle_sql() -> dict[str, str]:
               FROM links WHERE src <> dst GROUP BY 1, 2),"""
         + _pr_iter_ctes(5) + """
         SELECT node AS host, r AS rank_micro FROM r5
+    """)
+
+    o["site_table"] = (f"""
+        WITH {_anchor_ctes},
+        links AS (SELECT 'h' || CAST(id % 11 AS VARCHAR) || '.example'
+                             AS src,
+                         host AS dst
+                  FROM pairs),
+        e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+              FROM links WHERE src <> dst GROUP BY 1, 2),"""
+        + _pr_iter_ctes(5) + f""",
+        tok AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                       '[^\t\n\f\r ]+')) AS term
+            FROM documents),
+        wt AS (SELECT id, CAST({_wexpr} AS BIGINT) AS w FROM tok),
+        ds AS (SELECT id, CAST(sum(w) AS BIGINT) AS score
+               FROM wt GROUP BY id),
+        hq AS (SELECT 'h' || CAST(id % 11 AS VARCHAR) || '.example'
+                          AS host,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(score) AS BIGINT) AS score_sum,
+                      sum(score) * 1 < -5 * count(*) AS blocked
+               FROM ds GROUP BY 1),
+        at AS (SELECT host, CAST(count(*) AS BIGINT) AS n_inlinks
+               FROM pairs GROUP BY 1)
+        SELECT r5.node AS host, r5.r AS rank_micro,
+               n_docs, score_sum, blocked, n_inlinks
+        FROM r5 JOIN hq ON hq.host = r5.node
+                JOIN at ON at.host = r5.node
     """)
 
     o["html_title_meta"] = """
