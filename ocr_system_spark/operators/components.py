@@ -132,16 +132,41 @@ def connected_components(
     near-clique dedup graphs). For arbitrary topology use
     :func:`connected_components_star` (O(log n) rounds).
     """
+    # Materialize the symmetrized edge list ONCE, reading ``edges`` once:
+    # the propagation loop joins `sym` every round, and without the
+    # checkpoint the whole upstream edge plan (for dedup output: the LSH
+    # band self-join + exact-verify joins) re-executes per iteration; a
+    # union of two selects would additionally execute that plan twice
+    # inside this one job (guide §2.4 — remove repeated work behind an
+    # iteration boundary; §2.3 — both orientations come from one scan via
+    # explode). Same move `connected_components_star` makes for its loop.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     node_ids = sym.select(F.col("u").alias(id_col)).distinct()
     if nodes is not None:
         node_ids = nodes.select(F.col(id_col)).distinct()
 
-    labels = node_ids.withColumn("comp", F.col(id_col)).localCheckpoint(eager=True)
+    # Fused round 1: with every label initialized to its own id, the first
+    # propagation round's neighbor-min is just min(neighbor ids) — one
+    # groupBy + left join at init time instead of a full join round with
+    # its own checkpoint and convergence count. Labels after this are
+    # exactly what the old loop produced after its first iteration, so the
+    # fixpoint (and the returned labels) are unchanged.
+    nbr0 = sym.groupBy("u").agg(F.min("v").alias("_m"))
+    labels = (
+        node_ids.join(nbr0, node_ids[id_col] == nbr0.u, "left")
+        .select(F.col(id_col),
+                F.least(F.col(id_col),
+                        F.coalesce(F.col("_m"), F.col(id_col))).alias("comp"))
+        .localCheckpoint(eager=True)
+    )
 
     changed = 0
     for _ in range(max_iter):
