@@ -1977,59 +1977,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the rest keep their registration order.  Rotate this list per round: once
 # a query has a driver-recorded row, move it out of the priority block.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-5 additions (never driver-recorded) — keep at the head
-    "site_table",
-    "cluster_balanced_sample",
-    "lm_backoff",
-    "page_link_pagerank",
-    "anchor_hosts",
-    "html_title_meta",
-    "host_blocklist",
-    "token_budget_mixture",
-    "training_order",
-    "host_pagerank",
-    "bm25_topk",
-    "dsir_resample",
-    "perplexity_tiers",
-    "dsir_weights",
-    "lm_perplexity",
-    "bpe_encode_ranked",
-    "decontaminate_bloom",
-    "url_blocklist",
-    "fuzzy_dedup_e2e",
-    "quality_tiers_bucketed",
-    "paragraph_dedup",
-    "bpe_train_batched",
-    "bpe_train_local",
-    # round-3/4 queries whose latest driver row is r03 — promote so the
-    # r05 snapshot records them (the r04 window recorded the other half)
-    "agg_pricing",
-    "anti_join",
-    "asof_join",
-    "cube_counts",
-    "date_funcs",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_pairs",
-    "dedup_simhash",
-    "distinct_agg",
-    "dynamic_fields",
-    "embedding_dup_pairs",
-    "embedding_ivf_topk",
-    "embedding_lsh_topk",
-    "embedding_topk",
-    "fingerprint_md5",
-    "frame_sample",
-    "grouping_sets",
-    "join_broadcast",
-    "langid",
-    "left_join_enrich",
-    "media_resize",
-    "multi_join",
-    "multimodal_meta",
-    "nonempty_filter",
-    "ordered_concat",
+    # round-6 rotation: the 50 names holding fresh r05 driver rows are
+    # dropped from the block; the 64 whose freshest row is r04 or older
+    # are promoted, OLDEST driver row first (r03 block, then r04 in
+    # registration order), so every query stays ≤ 2 rounds from a
+    # driver-recorded correctness row.
     "pivot_counts",
     "quality_features",
     "range_join",
@@ -2044,6 +1996,57 @@ _DRIVER_WINDOW_PRIORITY = [
     "union_distinct",
     "window_topk",
     "winnow_fingerprint",
+    # — everything below last recorded r04 —
+    "html_main_extract",
+    "field_license_id",
+    "field_date",
+    "field_reference_id",
+    "field_address",
+    "field_start_date",
+    "field_end_date",
+    "field_licenses",
+    "field_renew_times",
+    "dedup_ngram_guarded",
+    "model_extract",
+    "repetition_stats",
+    "gopher_quality",
+    "dedup_components",
+    "curation_pipeline",
+    "dedup_keep_best",
+    "decontaminate",
+    "zscore_by_lang",
+    "quantiles",
+    "pii_scrub",
+    "timestamp_window",
+    "dup_spans",
+    "dup_span_mass",
+    "dup_span_removal",
+    "url_canon_dedup",
+    "dedup_incremental",
+    "dedup_index_update",
+    "ivf_train_topk",
+    "doc_chunks",
+    "pack_chunks",
+    "host_cap",
+    "hash_split",
+    "top_terms",
+    "embedding_topk_int8",
+    "line_hot",
+    "line_dedup",
+    "template_strip",
+    "c4_filters",
+    "unigram_freq",
+    "intra_doc_dup",
+    "bpe_train",
+    "bpe_encode",
+    "quality_model_score",
+    "quality_model_table_score",
+    "crawl_diff",
+    "host_split",
+    "quality_tiers",
+    "tier_mixture",
+    "normalize_text",
+    "normalize_dedup",
 ]
 
 

@@ -94,6 +94,13 @@ def _parse_one(src: str) -> _DocNodes:
     skip_until: Optional[str] = None  # inside script/style/etc.
     pos = 0
     n = len(src)
+    # bound methods hoisted out of the tag loop (pure CPython overhead —
+    # attribute lookups measured a visible slice of this hot kernel)
+    _tags_app = d.tags.append
+    _parent_app = d.parent.append
+    _depth_app = d.depth.append
+    _otext_app = d.own_text.append
+    _olink_app = d.own_link.append
 
     def add_text(start: int, end: int) -> None:
         if start >= end:
@@ -121,12 +128,16 @@ def _parse_one(src: str) -> _DocNodes:
         if skip_until is None and m.start() > pos:
             add_text(pos, m.start())
         pos = m.end()
-        name = m.group(2)
+        # one C-level call for all four groups (three .group() calls and a
+        # .lower() allocation per tag measured ~15% of this kernel's time;
+        # tag names are already lowercase in almost all real HTML)
+        close_g, name, _attrs, self_g = m.group(1, 2, 3, 4)
         if name is None:            # comment/doctype/PI
             continue
-        name = name.lower()
-        closing = m.group(1) == "/"
-        self_closing = m.group(4) == "/"
+        if not name.islower():
+            name = name.lower()
+        closing = close_g == "/"
+        self_closing = self_g == "/"
         if skip_until is not None:
             if closing and name == skip_until:
                 skip_until = None
@@ -150,11 +161,11 @@ def _parse_one(src: str) -> _DocNodes:
             continue
         parent = stack[-1]
         idx = len(d.tags)
-        d.tags.append(name)
-        d.parent.append(parent)
-        d.depth.append(len(stack))   # root depth 0
-        d.own_text.append(0)
-        d.own_link.append(0)
+        _tags_app(name)
+        _parent_app(parent)
+        _depth_app(len(stack))       # root depth 0
+        _otext_app(0)
+        _olink_app(0)
         if name == "a":
             link_depth += 1
         if self_closing:

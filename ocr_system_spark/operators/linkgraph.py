@@ -55,6 +55,12 @@ __all__ = ["host_edges", "pagerank", "anchor_pairs", "anchor_host_stats"]
 # bodies, scheme-qualified host capture, tag-strip + pinned-ASCII
 # whitespace collapse for the anchor text.
 ANCHOR_PATTERN = '(?is)<a[\t\n\f\r ][^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+# PINNED SPEC: scheme matching and host capture are CASE-PRESERVING —
+# 'HTTP://x' hrefs drop out and 'A.example' stays distinct from
+# 'a.example'.  RFC 3986 treats scheme/host case as insignificant, but
+# the case-sensitive form is the replayed oracle contract
+# (tests/test_round5_graph_retrieval.py pins 'A.example' preserved);
+# callers wanting RFC folding should lower() hrefs upstream.
 HOST_PATTERN = "^https?://([^/]+)"
 
 RANK_SCALE = 10**12

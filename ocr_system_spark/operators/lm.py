@@ -109,6 +109,13 @@ def bigram_lm_score(score_df: DataFrame, train_df: DataFrame,
     v = int(exploded_terms(train_df, id_col, text_col)
             .agg(F.countDistinct("term").cast("long").alias("v"))
             .first()["v"] or 0)
+    if v == 0:
+        # an empty training corpus would make ln(c1 + v) evaluate ln(0)
+        # → NULL, which F.sum silently skips — partial scores instead of
+        # a loud failure
+        raise ValueError(
+            "bigram_lm_score: training corpus has no tokens (V=0) — "
+            "cannot fit an add-one bigram model")
 
     tf = (bigrams(score_df, id_col, text_col)
           .groupBy("id", "w1", "w2")
@@ -190,6 +197,13 @@ def stupid_backoff_score(score_df: DataFrame, train_df: DataFrame,
         F.sum("c").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("v")).first()
     n_tok, v = int(totals["n"] or 0), int(totals["v"] or 0)
+    # Degenerate corpus (N+V=0): PINNED errors-as-data — the unigram
+    # floor's ln evaluates NULL, F.sum skips it, and logscore_micro comes
+    # back NULL with the integer counts still exact
+    # (tests/test_round5_lm.py::test_empty_train_yields_null_scores).
+    # bigram_lm_score raises instead: its score column would be PARTIALLY
+    # null (known bigrams still score), which is silently wrong rather
+    # than recognizably degenerate.
 
     tf = (trigrams(score_df, id_col, text_col)
           .groupBy("id", "w1", "w2", "w3")

@@ -90,9 +90,14 @@ def _contrib_micro(n_docs: int, total_len: int) -> Column:
     return F.round(idf * tfn * SCORE_MICROS).cast("long")
 
 
-def _empty_result(queries: DataFrame) -> DataFrame:
+def _empty_result(queries: DataFrame, corpus: DataFrame,
+                  id_col: str) -> DataFrame:
+    # derive the id column's type from the corpus so the empty-corpus
+    # early return has the SAME schema as the normal path (a hardcoded
+    # long would break downstream unionByName/writes on string doc ids)
+    id_type = corpus.schema[id_col].dataType
     return (queries.select(F.col("query_id"),
-                           F.lit(0).cast("long").alias("id"),
+                           F.lit(None).cast(id_type).alias("id"),
                            F.lit(0).cast("long").alias("n_terms"),
                            F.lit(0).cast("long").alias("score_micro"),
                            F.lit(0).cast("int").alias("rn"))
@@ -133,7 +138,7 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  .first())
         n_docs, total_len = int(stats["n"] or 0), int(stats["l"] or 0)
         if n_docs == 0:
-            return _empty_result(queries)
+            return _empty_result(queries, corpus, id_col)
         df_rel = p.groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("df"))
         matched = (p.join(F.broadcast(q), "term")
@@ -146,7 +151,7 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         terms = sorted({r["term"] for r in q.select("term").distinct()
                         .collect() if r["term"] is not None})
         if not terms:
-            return _empty_result(queries)
+            return _empty_result(queries, corpus, id_col)
         qarr = F.array(*[F.lit(t) for t in terms])
         toks = lower_ascii_tokens(F.col(text_col))
         hits = F.filter(
@@ -168,7 +173,7 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             F.sum("dl").cast("long").alias("l")).first()
         n_docs, total_len = int(stats["n"] or 0), int(stats["l"] or 0)
         if n_docs == 0:
-            return _empty_result(queries)
+            return _empty_result(queries, corpus, id_col)
         m = (slim.select("id", "dl", F.explode("_hits").alias("h"))
              .select("id", "dl", F.col("h.term").alias("term"),
                      F.col("h.tf").alias("tf")))

@@ -153,8 +153,22 @@ def budget_sample(
                                         F.lit(0)))
            .withColumn("_budget", budget))
 
+    # Non-negativity guard with ZERO extra jobs: ride a min(_w) through
+    # the per-bucket aggregation the pass computes anyway and fail loudly
+    # from inside the plan. A negative weight breaks the bucketed plan's
+    # all-drop classification (cum_before > budget no longer implies
+    # every row of the bucket exceeds it), silently diverging from the
+    # naive cumulative definition the docstring (and the oracle) state.
     cells = (t.groupBy(group_col, "_bk")
-             .agg(F.sum(F.col("_w")).cast("long").alias("_total"))
+             .agg(F.sum(F.col("_w")).cast("long").alias("_sum"),
+                  F.min(F.col("_w")).cast("long").alias("_minw"))
+             .withColumn(
+                 "_total",
+                 F.when(F.col("_minw") >= 0, F.col("_sum")).otherwise(
+                     F.raise_error(F.lit(
+                         "budget_sample: weight_col must be non-negative "
+                         "(found a negative weight)"))))
+             .drop("_sum", "_minw")
              .withColumn(
                  "_before",
                  F.coalesce(
