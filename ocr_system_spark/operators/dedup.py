@@ -146,7 +146,16 @@ def ngram_jaccard_pairs(
     # from the arrays BEFORE sizing so n_sh matches the joined universe.
     freq = (base.select("blk", F.explode("shingles").alias("shingle"))
             .groupBy("blk", "shingle").agg(F.count(F.lit(1)).alias("g")))
-    hot = (freq.filter(F.col("g") > max_group)
+    # Only the OVERSIZED-group tail of `freq` is ever consumed (the hot
+    # drop set and the salting relation), and it is bounded by
+    # total_shingles/min(salt_cap, max_group). Cache the tail so the
+    # corpus-scale explode+groupBy behind it executes ONCE instead of
+    # once per consumer (hot broadcast, salting emptiness probe, salted
+    # join broadcast) — guide §2.4/§5; released by the reference-based
+    # ContextCleaner like every other operator-scoped cache here.
+    tail = freq.filter(
+        F.col("g") > min(int(salt_cap), int(max_group))).cache()
+    hot = (tail.filter(F.col("g") > max_group)
            .groupBy("blk").agg(F.collect_list("shingle").alias("hot")))
     sh = (
         base.join(F.broadcast(hot), "blk", "left")
@@ -159,8 +168,8 @@ def ngram_jaccard_pairs(
                 F.explode("shingles").alias("shingle"))
     )
     # shingle groups that survive the guard but exceed salt_cap are
-    # triangle-salted (freq is already aggregated — reuse it as `big`)
-    big = (freq.filter((F.col("g") > salt_cap) & (F.col("g") <= max_group))
+    # triangle-salted (the cached tail is already aggregated — reuse it)
+    big = (tail.filter((F.col("g") > salt_cap) & (F.col("g") <= max_group))
            .select("blk", "shingle", F.col("g").alias("gsz")))
     matched = _salted_self_join(sh, ["blk", "shingle"], salt_cap,
                                 payload_cols=("n_sh",), big=big)
