@@ -76,20 +76,27 @@ def anchor_pairs(pages: DataFrame, id_col: str = "doc_id",
     Pure JVM expressions (regexp_extract_all + posexplode — no UDF, no
     shuffle); feeds :func:`anchor_host_stats` and, via the host column,
     :func:`host_edges`."""
-    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 1)
-    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 2)
+    # ONE full-HTML regex pass (group 0 = whole anchor), then href/text
+    # re-extracted from each short matched substring. Two full-document
+    # passes (group-1 then group-2 extract_all) doubled the dominant
+    # regex cost of the anchor tier at crawl scale. Bit-identical: the
+    # pattern has no anchors/lookaround, so re-matching it on its own
+    # full match is the same deterministic leftmost-lazy match and yields
+    # the same groups (pinned by the pathological-HTML anchor tests and
+    # the oracle's independent replay).
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 0)
     clean = F.trim(F.regexp_replace(
         F.regexp_replace(F.col("_rawtext"), "<[^>]*>", ""),
         "[\t\n\f\r ]+", " "))
     return (pages
-            .select(F.col(id_col).alias("id"), hrefs.alias("_hr"),
-                    texts.alias("_tx"))
-            .select("id", "_tx",
-                    F.posexplode("_hr").alias("_i", "_href"))
+            .select(F.col(id_col).alias("id"),
+                    F.explode(anchors).alias("_a"))
             .select("id",
-                    F.regexp_extract(F.col("_href"), HOST_PATTERN, 1)
-                    .alias("host"),
-                    F.col("_tx")[F.col("_i")].alias("_rawtext"))
+                    F.regexp_extract(
+                        F.regexp_extract(F.col("_a"), ANCHOR_PATTERN, 1),
+                        HOST_PATTERN, 1).alias("host"),
+                    F.regexp_extract(F.col("_a"), ANCHOR_PATTERN, 2)
+                    .alias("_rawtext"))
             .filter(F.col("host") != "")
             .select("id", "host", clean.alias("text")))
 

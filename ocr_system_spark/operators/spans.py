@@ -129,10 +129,16 @@ def remove_duplicate_spans(
     spans = duplicate_spans(df, id_col, text_col, k, window, max_group)
     # cached: hits feeds the island windows AND the untouched anti-join;
     # norm feeds pieces, untouched, and the final length bookkeeping
+    # both (id, pos) orientations from ONE read of the span-match plan —
+    # a union of two selects would execute the fp self-join twice inside
+    # the cache materialization (guide §2.3; the connected_components
+    # sym precedent)
     hits = (
-        spans.select(F.col("id_a").alias("id"), F.col("pos_a").alias("pos"))
-        .union(spans.select(F.col("id_b").alias("id"),
-                            F.col("pos_b").alias("pos")))
+        spans.select(F.explode(F.array(
+            F.struct(F.col("id_a").alias("id"), F.col("pos_a").alias("pos")),
+            F.struct(F.col("id_b").alias("id"), F.col("pos_b").alias("pos")),
+        )).alias("e"))
+        .select(F.col("e.id").alias("id"), F.col("e.pos").alias("pos"))
         .distinct()
         .cache()
     )
