@@ -153,22 +153,24 @@ def extract_all_license_numbers_one(text: str) -> List[str]:
     txt = normalize_license_text(text or "")
     out_a: List[str] = []
     seen_a: set = set()
-    for m in _LIC_A_RE.finditer(txt):
-        val = m.group(0).strip()
-        key = val.upper()
-        if key not in seen_a:
-            seen_a.add(key)
-            out_a.append(val)
+    if "(" in txt:      # literal-necessity prescreen; see first-page kernel
+        for m in _LIC_A_RE.finditer(txt):
+            val = m.group(0).strip()
+            key = val.upper()
+            if key not in seen_a:
+                seen_a.add(key)
+                out_a.append(val)
     if out_a:
         return out_a
     out_b: List[str] = []
     seen_b: set = set()
-    for m in _LIC_B_RE.finditer(txt):
-        val = m.group(0).strip()
-        key = val.upper()
-        if key not in seen_b:
-            seen_b.add(key)
-            out_b.append(val)
+    if "/" in txt:
+        for m in _LIC_B_RE.finditer(txt):
+            val = m.group(0).strip()
+            key = val.upper()
+            if key not in seen_b:
+                seen_b.add(key)
+                out_b.append(val)
     return out_b
 
 
@@ -183,7 +185,14 @@ def extract_licenses_first_page_one(text: str) -> str:
     fields layer's hottest loop)."""
     first_page = (text or "").split(PAGE_BREAK_TOKEN, 1)[0] if text else ""
     txt = normalize_license_text(first_page)
-    m = _LIC_A_RE.search(txt) or _LIC_B_RE.search(txt)
+    # literal-necessity prescreens (provably result-identical): TYPE_A
+    # contains a literal '\(' so no text without '(' can match, TYPE_B a
+    # literal '/'. A C-level substring scan is ~an order of magnitude
+    # cheaper than the failing regex scan, and most raw corpus text has
+    # neither character — measured 0.61 s → ~0.05 s per 20k docs.
+    m = _LIC_A_RE.search(txt) if "(" in txt else None
+    if m is None and "/" in txt:
+        m = _LIC_B_RE.search(txt)
     return m.group(0).strip() if m else ""
 
 
