@@ -71,6 +71,7 @@ class _DocNodes:
     """Flat per-document parse product (element arrays + text-node lists)."""
 
     __slots__ = ("tags", "parent", "depth", "own_text", "own_link",
+                 "is_cand", "is_block",
                  "txt_owner", "txt_raw", "txt_start", "txt_end")
 
     def __init__(self) -> None:
@@ -80,6 +81,12 @@ class _DocNodes:
         self.depth: List[int] = [0]
         self.own_text: List[int] = [0]
         self.own_link: List[int] = [0]
+        # candidate/block flags recorded AT PARSE TIME (two frozenset
+        # lookups per opening tag) instead of re-walking every tag list
+        # in Python during batch concatenation — that re-walk measured a
+        # visible slice of the scoring pass. "#root" counts as block.
+        self.is_cand: List[bool] = [False]
+        self.is_block: List[bool] = [True]
         self.txt_owner: List[int] = []   # owning element index
         self.txt_raw: List[str] = []     # raw (unescaped) text content
         self.txt_start: List[int] = []   # char offset in source
@@ -101,6 +108,8 @@ def _parse_one(src: str) -> _DocNodes:
     _depth_app = d.depth.append
     _otext_app = d.own_text.append
     _olink_app = d.own_link.append
+    _cand_app = d.is_cand.append
+    _block_app = d.is_block.append
 
     def add_text(start: int, end: int) -> None:
         if start >= end:
@@ -125,9 +134,10 @@ def _parse_one(src: str) -> _DocNodes:
             d.own_link[owner] += tlen
 
     for m in _MARKUP_RE.finditer(src):
-        if skip_until is None and m.start() > pos:
-            add_text(pos, m.start())
-        pos = m.end()
+        m_start, m_end = m.span()
+        if skip_until is None and m_start > pos:
+            add_text(pos, m_start)
+        pos = m_end
         # one C-level call for all four groups (three .group() calls and a
         # .lower() allocation per tag measured ~15% of this kernel's time;
         # tag names are already lowercase in almost all real HTML)
@@ -166,6 +176,8 @@ def _parse_one(src: str) -> _DocNodes:
         _depth_app(len(stack))       # root depth 0
         _otext_app(0)
         _olink_app(0)
+        _cand_app(name in _CANDIDATE_TAGS)
+        _block_app(name in _BLOCK_TAGS)
         if name == "a":
             link_depth += 1
         if self_closing:
@@ -202,25 +214,34 @@ def extract_main_batch(html_texts: List[Optional[str]]):
     offs = np.zeros(len(docs) + 1, dtype=np.int64)
     np.cumsum(sizes, out=offs[1:])
 
-    parent = np.empty(total, dtype=np.int64)
-    depth = np.empty(total, dtype=np.int32)
-    own_text = np.zeros(total, dtype=np.int64)
-    own_link = np.zeros(total, dtype=np.int64)
-    is_cand = np.zeros(total, dtype=bool)
-    is_block = np.zeros(total, dtype=bool)
-
-    for i, d in enumerate(docs):
+    # Flat Python lists via C-level extend, one bulk conversion each, and
+    # a single vectorized add to globalize the doc-local parent pointers —
+    # six small numpy slice-assignments PER DOCUMENT (120k tiny ops per
+    # 20k-page batch, each dominated by numpy call overhead) measured a
+    # visible slice of this kernel.
+    parent_l: List[int] = []
+    depth_l: List[int] = []
+    own_text_l: List[int] = []
+    own_link_l: List[int] = []
+    is_cand_l: List[bool] = []
+    is_block_l: List[bool] = []
+    for d in docs:
         if d is None:
             continue
-        o = offs[i]
-        k = sizes[i]
-        parent[o:o + k] = np.asarray(d.parent, dtype=np.int64) + o
-        depth[o:o + k] = d.depth
-        own_text[o:o + k] = d.own_text
-        own_link[o:o + k] = d.own_link
-        tags = d.tags
-        is_cand[o:o + k] = [t in _CANDIDATE_TAGS for t in tags]
-        is_block[o:o + k] = [t in _BLOCK_TAGS or t == "#root" for t in tags]
+        parent_l.extend(d.parent)
+        depth_l.extend(d.depth)
+        own_text_l.extend(d.own_text)
+        own_link_l.extend(d.own_link)
+        is_cand_l.extend(d.is_cand)
+        is_block_l.extend(d.is_block)
+    doc_ids = np.repeat(np.arange(len(docs), dtype=np.int64),
+                        np.asarray(sizes, dtype=np.int64))
+    parent = np.asarray(parent_l, dtype=np.int64) + offs[doc_ids]
+    depth = np.asarray(depth_l, dtype=np.int32)
+    own_text = np.asarray(own_text_l, dtype=np.int64)
+    own_link = np.asarray(own_link_l, dtype=np.int64)
+    is_cand = np.asarray(is_cand_l, dtype=bool)
+    is_block = np.asarray(is_block_l, dtype=bool)
 
     # ---- subtree rollup: deepest level first, children add into parents
     sub_text = own_text.astype(np.float64)
