@@ -1436,9 +1436,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         replace expression — row-local; oracle replays training AND the
         encode chain."""
         ensure_package_on_executors(spark)
-        from ocr_system_spark.operators.bpe import bpe_encode, bpe_train
+        # trainer swapped for the vocabulary-collect path (r06): its merge
+        # table is BIT-IDENTICAL to the sequential trainer (property-pinned
+        # in test_round4_bpe/test_round5_bpe_ranked) at ~1/20 the driver
+        # rounds — this query's point is the ENCODE chain, and the
+        # sequential mechanism stays demonstrated by `bpe_train` itself
+        from ocr_system_spark.operators.bpe import bpe_encode, bpe_train_local
         d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-        return bpe_encode(d, bpe_train(d, n_merges=8))
+        return bpe_encode(d, bpe_train_local(d, n_merges=8))
 
     q["bpe_encode"] = q_bpe_encode
 
@@ -1448,10 +1453,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the expression-chain encoder by the cursor argument, so it
         shares `bpe_encode`'s full SQL training+encode replay oracle."""
         ensure_package_on_executors(spark)
+        # same trainer swap as bpe_encode (bit-identical merges, ~1/20
+        # the driver rounds); this query's point is the rank-cursor encoder
         from ocr_system_spark.operators.bpe import (
-            bpe_encode_ranked, bpe_train)
+            bpe_encode_ranked, bpe_train_local)
         d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-        return bpe_encode_ranked(d, bpe_train(d, n_merges=8))
+        return bpe_encode_ranked(d, bpe_train_local(d, n_merges=8))
 
     q["bpe_encode_ranked"] = q_bpe_encode_ranked
 
