@@ -406,9 +406,15 @@ def _salted_self_join(
     with a per-row ``sequence`` explode (the round-2 dedup_minhash
     regression)."""
     if big is None:
+        # cached: the oversized-bucket relation is TINY (bounded by
+        # rows/salt_cap) and read twice — the emptiness probe below and,
+        # when non-empty, the salted join's broadcast side — so the
+        # bucket-count aggregation behind it runs once (the ngram
+        # freq-tail precedent; released by the ContextCleaner)
         big = (exploded.groupBy(*keys)
                .agg(F.count(F.lit(1)).alias("gsz"))
-               .filter(F.col("gsz") > salt_cap))
+               .filter(F.col("gsz") > salt_cap)
+               .cache())
     # the emptiness probe is ONE tiny aggregate job (over the caller's
     # cached upstream in every call site) and decides between the plain
     # 2-key join and the 4-key salted join + per-row sequence explode
@@ -540,9 +546,12 @@ def incremental_minhash_pairs(
     # within-batch leg; ib feeds the hot-bucket probe and the cross join
     bb = band_rows(batch_sig, bands, rows).cache()
     ib = band_rows(index_sig, bands, rows).cache()
+    # cached: read by the emptiness probe and, when non-empty, by BOTH
+    # legs' broadcast joins (il and bl) — bounded by index_rows/salt_cap
     big = (ib.groupBy("band", "bhash")
            .agg(F.count(F.lit(1)).alias("gsz"))
-           .filter(F.col("gsz") > salt_cap))
+           .filter(F.col("gsz") > salt_cap)
+           .cache())
     il = ib.select(F.col("id").alias("index_id"), "band", "bhash")
     bl = bb.select(F.col("id").alias("batch_id"), "band", "bhash")
     if big.isEmpty():
